@@ -1,0 +1,139 @@
+"""Snapshot / transaction-log layer — the engine-owned Iceberg analog.
+
+In-sandbox there is no iceberg-spark-runtime (BASELINE.md), so the engine
+owns an Iceberg-style metadata chain: an ordered list of immutable
+snapshot JSON manifests under ``meta/``, with a single atomically-swapped
+``LATEST`` pointer (write-temp + ``os.replace``, the metadata.json pattern).
+Data files are immutable; a commit writes new files + a new manifest and
+swaps the pointer.  Crash between data-write and pointer-swap leaves only
+orphans (reclaimed by ``LakeTable.vacuum``), never a torn table.
+
+Exactly-once: ``last_batch_id`` recorded in the snapshot is the fencing
+token — ``foreachBatch`` re-deliveries with ``batch_id <= last_batch_id``
+are no-ops (Spark guarantees replay-stable batch ids).
+
+Single-writer model: one streaming query owns the table (the CDC tailer).
+The version-file create is still collision-checked to fail fast on
+misconfiguration rather than corrupt state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class FileEntry:
+    """One immutable data file + pruning stats.
+
+    ``buckets`` is the exact set of storage buckets present in the file
+    (files are usually single-bucket; survivor rewrites may pack a few).
+    ``min_repo``/``max_repo`` allow repo-predicate file pruning on reads.
+    """
+
+    path: str  # relative to table root
+    rows: int
+    buckets: list[int]
+    min_repo: str | None = None
+    max_repo: str | None = None
+    bytes: int = 0
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_version: int
+    columns: list[str]
+    n_buckets: int
+    salt: int
+    hot_repos: list[str] = field(default_factory=list)
+    last_batch_id: int = -1
+    watermarks: dict[str, int] = field(default_factory=dict)  # part_id(str) -> seq
+    files: list[FileEntry] = field(default_factory=list)
+    repo_stats: dict[str, int] = field(default_factory=dict)  # top-K cumulative event counts
+    parent: int | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+
+    def wm(self) -> dict[int, int]:
+        return {int(k): int(v) for k, v in self.watermarks.items()}
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        d["files"] = [FileEntry(**f) for f in d["files"]]
+        return Snapshot(**d)
+
+
+class SnapshotLog:
+    """The meta/ directory: versioned manifests + atomic LATEST pointer."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta = os.path.join(root, "meta")
+
+    def _vpath(self, version: int) -> str:
+        return os.path.join(self.meta, f"v{version:08d}.json")
+
+    def _latest_path(self) -> str:
+        return os.path.join(self.meta, "LATEST")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._latest_path())
+
+    def current_version(self) -> int:
+        with open(self._latest_path()) as f:
+            return int(f.read().strip())
+
+    def read(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+        with open(self._vpath(version)) as f:
+            return Snapshot.from_json(f.read())
+
+    def history(self) -> list[int]:
+        if not os.path.isdir(self.meta):
+            return []
+        out = []
+        for name in os.listdir(self.meta):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _atomic_write(self, path: str, data: str) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def commit(self, snap: Snapshot, expect_parent: int | None) -> None:
+        """Atomically publish ``snap``.  ``expect_parent`` is the version
+        the writer based this commit on — a cheap optimistic-concurrency
+        check for the single-writer model."""
+        os.makedirs(self.meta, exist_ok=True)
+        if self.exists():
+            cur = self.current_version()
+            if expect_parent is None or cur != expect_parent:
+                raise RuntimeError(
+                    f"commit conflict: table at v{cur}, writer based on {expect_parent}"
+                )
+            if snap.version <= cur:
+                raise RuntimeError(f"non-monotonic commit {snap.version} <= {cur}")
+        # a stale v-file from a crashed commit (pointer never swapped) is
+        # garbage under single-writer; overwrite it atomically
+        self._atomic_write(self._vpath(snap.version), snap.to_json())
+        self._atomic_write(self._latest_path(), str(snap.version))
+        # fsync the directory so the pointer swap is durable
+        dfd = os.open(self.meta, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)

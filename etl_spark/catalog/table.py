@@ -1,0 +1,556 @@
+"""LakeTable — the transactional, bucketed, upsert-able lake table.
+
+Storage model
+-------------
+- Immutable parquet data files under ``data/b<batch>/``; every file's
+  exact bucket set + repo min/max recorded in the snapshot manifest
+  (file-level pruning without any Catalyst DSv1 cooperation).
+- Keys are hash-bucketed: cold repo -> pmod(xxhash64(repo), n_buckets)
+  (so reads filtered by repo prune to one bucket); hot repos are salted
+  across a dedicated range of ``salt`` buckets (skew defense).  Hot-set
+  promotion is sticky and migrates the repo's old bucket in the same
+  commit, keeping key->bucket resolution consistent at all times.
+- Copy-on-write merge: a micro-batch rewrites only files whose bucket
+  set intersects the batch's touched buckets; everything else is carried
+  forward by reference in the manifest.
+
+Merge strategies (auto-selected per batch)
+------------------------------------------
+- ``broadcast`` (delta small — the steady-state CDC case): the touched
+  slice is LEFT-joined against the broadcast delta (NO shuffle of the
+  big side; one full scan + one key-column-only scan), new keys appended.
+- ``shuffle`` (delta large — backfills/initial load): target slice and
+  delta are unioned as pseudo-events and reduced with one ``max_by``
+  hash aggregation (map-side partial agg collapses hot keys pre-shuffle).
+
+Scale notes (100 TB / 1000 executors): the only per-batch driver state is
+the manifest (file entries) and the watermark vector.  Steady-state file
+count stays ~O(n_buckets + data/128MB) because survivor rewrites
+re-consolidate each touched bucket.  At very large file counts the flat
+manifest JSON would shard into Iceberg-style manifest lists — the
+``SnapshotLog`` seam isolates that change.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.catalog.snapshot import FileEntry, Snapshot, SnapshotLog
+from etl_spark.functions.hashing import key_bucket
+from etl_spark.operators.lww import lww_latest
+from etl_spark.operators.watermark import (
+    admission_filter,
+    merge_watermarks,
+)
+from etl_spark.schemas import KEY_COLUMNS, TABLE_COLUMNS
+
+# event-envelope columns that never become table columns
+ENVELOPE_COLUMNS = {"seq", "part_id", "op", "ts", "extra"}
+SYSTEM = {"_ingest_seq", "_batch_id", "_deleted", "bucket"}
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log = SnapshotLog(root)
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+        salt: int = 8,
+        hot_repos: list[str] | None = None,
+        broadcast_threshold_rows: int = 2_000_000,
+        hot_frac: float = 0.30,
+        hot_min_rows: int = 10_000,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        if t.log.exists():
+            raise RuntimeError(f"table already exists at {root}")
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_version=0,
+            columns=list(TABLE_COLUMNS),
+            n_buckets=n_buckets,
+            salt=salt,
+            hot_repos=list(hot_repos or []),
+            properties={
+                "broadcast_threshold_rows": str(broadcast_threshold_rows),
+                "hot_frac": str(hot_frac),
+                "hot_min_rows": str(hot_min_rows),
+                "total_events": "0",
+            },
+        )
+        t.log.commit(snap, expect_parent=None)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        if not t.log.exists():
+            raise FileNotFoundError(f"no table at {root}")
+        return t
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return self.log.read(version)
+
+    def history(self) -> list[int]:
+        return self.log.history()
+
+    # ------------------------------------------------------------------ #
+    # reads
+    # ------------------------------------------------------------------ #
+    def _read_files(self, snap: Snapshot, entries: list[FileEntry]) -> DataFrame:
+        cols = snap.columns
+        if not entries:
+            types = {"_ingest_seq": "long", "_batch_id": "long", "_deleted": "boolean"}
+            schema = ", ".join(f"`{c}` {types.get(c, 'string')}" for c in cols)
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, e.path) for e in entries]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for c in cols:  # evolution: old files lack late columns
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        return df.select(*cols)
+
+    def read(
+        self,
+        version: int | None = None,
+        include_tombstones: bool = False,
+        repo: str | None = None,
+    ) -> DataFrame:
+        """Current (or time-travel) table state.  ``repo=`` prunes files
+        via manifest bucket + min/max stats before any Spark scan."""
+        snap = self.snapshot(version)
+        entries = snap.files
+        if repo is not None:
+            b = self._bucket_of_repo(snap, repo)
+            entries = [
+                e
+                for e in entries
+                if (set(b) & set(e.buckets))
+                and (e.min_repo is None or e.min_repo <= repo)
+                and (e.max_repo is None or repo <= e.max_repo)
+            ]
+        df = self._read_files(snap, entries)
+        if repo is not None:
+            df = df.filter(F.col("repo") == repo)
+        if not include_tombstones:
+            df = df.filter(~F.col("_deleted")).drop("_deleted")
+        return df
+
+    def _bucket_of_repo(self, snap: Snapshot, repo: str) -> list[int]:
+        """Buckets a repo's keys may live in under the snapshot's hot set."""
+        if repo in snap.hot_repos:
+            i = snap.hot_repos.index(repo)
+            lo = snap.n_buckets + i * snap.salt
+            return list(range(lo, lo + snap.salt))
+        row = (
+            self.spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(repo)), F.lit(snap.n_buckets)).alias("b"))
+            .first()
+        )
+        return [int(row["b"])]
+
+    def _bucket_expr(self, snap: Snapshot):
+        return key_bucket(
+            F.col("repo"), F.col("path"), snap.n_buckets, snap.hot_repos, snap.salt
+        )
+
+    # ------------------------------------------------------------------ #
+    # the transactional upsert (the core of the engine)
+    # ------------------------------------------------------------------ #
+    def apply_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        delivery: str = "ordered",
+        strategy: str = "auto",
+    ) -> dict:
+        """Exactly-once merge of one canonical micro-batch.
+
+        delivery='ordered'   — source honors per-partition prefix replay;
+                               events at-or-below the watermark are dropped
+                               as duplicates (fast path).
+        delivery='unordered' — no admission filter; correctness rests on
+                               the tombstoned LWW merge alone.
+        Returns a stats dict (also the metrics-table rows' source).
+        """
+        t0 = time.monotonic()
+        snap = self.snapshot()
+        if batch_id <= snap.last_batch_id:
+            return {"batch_id": batch_id, "skipped": True, "reason": "fenced"}
+
+        d0 = batch_df.dropDuplicates(["part_id", "seq"])
+        if delivery == "ordered" and snap.watermarks:
+            d0 = admission_filter(d0, snap.wm(), self.spark)
+
+        d0 = d0.persist()
+        d = lww_latest(d0, KEY_COLUMNS, "seq").persist()
+        try:
+            return self._apply_inner(d0, d, batch_id, snap, strategy, t0)
+        finally:
+            d.unpersist()
+            d0.unpersist()
+
+    def _apply_inner(self, d0, d, batch_id, snap, strategy, t0) -> dict:
+        # -- per-partition lineage + watermark + volume, one agg job ------
+        part_rows = (
+            d0.groupBy("part_id")
+            .agg(
+                F.min("seq").alias("start_seq"),
+                F.max("seq").alias("end_seq"),
+                F.count("*").alias("rows_applied"),
+            )
+            .collect()
+        )
+        batch_wm = {int(r["part_id"]): int(r["end_seq"]) for r in part_rows}
+        n_events = sum(int(r["rows_applied"]) for r in part_rows)
+
+        if n_events == 0:
+            # all-duplicate batch: still commit the fence so replay skips it
+            new = self._child(snap)
+            new.last_batch_id = batch_id
+            self.log.commit(new, expect_parent=snap.version)
+            self._write_metrics(batch_id, [], t0)
+            return {"batch_id": batch_id, "events": 0, "skipped": False}
+
+        # -- hot-repo accounting + promotion (before bucket assignment) ---
+        repo_counts = {
+            r["repo"]: int(r["cnt"])
+            for r in d0.groupBy("repo").agg(F.count("*").alias("cnt")).collect()
+        }
+        new_snap = self._child(snap)
+        promoted = self._update_hot(new_snap, repo_counts, n_events)
+
+        migrate_buckets: set[int] = set()
+        for repo in promoted:
+            # the repo's rows currently live in its old cold bucket
+            row = (
+                self.spark.range(1)
+                .select(F.pmod(F.xxhash64(F.lit(repo)), F.lit(snap.n_buckets)).alias("b"))
+                .first()
+            )
+            migrate_buckets.add(int(row["b"]))
+
+        bucket = key_bucket(
+            F.col("repo"), F.col("path"), new_snap.n_buckets, new_snap.hot_repos, new_snap.salt
+        )
+        touched = {
+            int(r["bucket"])
+            for r in d.select(bucket.alias("bucket")).distinct().collect()
+        } | migrate_buckets
+
+        slice_entries = [e for e in snap.files if set(e.buckets) & touched]
+        carried = [e for e in snap.files if not (set(e.buckets) & touched)]
+        slice_df = self._read_files(snap, slice_entries) if slice_entries else None
+
+        # -- schema evolution: delta columns not yet in the table ---------
+        new_cols = [
+            c
+            for c in d.columns
+            if c not in ENVELOPE_COLUMNS and c not in snap.columns and c != "content_sha"
+        ]
+        # content_sha handled explicitly since delta calls it content_sha too
+        all_cols = list(snap.columns) + [c for c in new_cols if c not in snap.columns]
+        if new_cols:
+            new_snap.columns = all_cols
+            new_snap.schema_version = snap.schema_version + 1
+
+        d_count = d.count()
+        if strategy == "auto":
+            thr = int(snap.properties.get("broadcast_threshold_rows", "2000000"))
+            strategy = "broadcast" if d_count <= thr else "shuffle"
+
+        delta_rows = self._to_table_rows(d, batch_id, all_cols)
+        bexpr = key_bucket(
+            F.col("repo"), F.col("path"), new_snap.n_buckets, new_snap.hot_repos, new_snap.salt
+        )
+        # bucket-cluster anything that went through a shuffle anyway, so
+        # files stay ~single-bucket (pruning granularity); survivors from
+        # the broadcast path stay task-aligned — NO shuffle of the slice
+        npart = max(1, min(len(touched), 2048))
+        if slice_df is None:
+            merged = delta_rows.withColumn("bucket", bexpr).repartitionByRange(npart, "bucket")
+        elif strategy == "broadcast":
+            resolved, news = self._merge_broadcast(
+                slice_df, d, delta_rows, all_cols, batch_id
+            )
+            merged = resolved.withColumn("bucket", bexpr).unionByName(
+                news.withColumn("bucket", bexpr).repartitionByRange(
+                    max(1, min(npart, 64)), "bucket"
+                )
+            )
+        else:
+            merged = (
+                self._merge_shuffle(slice_df, delta_rows, all_cols)
+                .withColumn("bucket", bexpr)
+                .repartitionByRange(npart, "bucket")
+            )
+
+        merged = merged.sortWithinPartitions("repo", "path")
+
+        # -- write new data files -----------------------------------------
+        rel_dir = os.path.join("data", f"b{batch_id:08d}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.root, rel_dir)
+        merged.write.mode("overwrite").parquet(out_dir)
+        new_entries = self._scan_written(rel_dir)
+
+        # -- commit ---------------------------------------------------------
+        new_snap.files = carried + new_entries
+        new_snap.last_batch_id = batch_id
+        new_snap.watermarks = {
+            str(k): v for k, v in merge_watermarks(snap.wm(), batch_wm).items()
+        }
+        new_snap.properties["total_events"] = str(
+            int(snap.properties.get("total_events", "0")) + n_events
+        )
+        self.log.commit(new_snap, expect_parent=snap.version)
+        latency_ms = self._write_metrics(batch_id, part_rows, t0)
+
+        return {
+            "batch_id": batch_id,
+            "skipped": False,
+            "events": n_events,
+            "delta_keys": d_count,
+            "strategy": strategy,
+            "touched_buckets": sorted(touched),
+            "rewrote_files": len(slice_entries),
+            "carried_files": len(carried),
+            "new_files": len(new_entries),
+            "promoted": promoted,
+            "latency_ms": latency_ms,
+        }
+
+    # ------------------------------------------------------------------ #
+    # merge strategies
+    # ------------------------------------------------------------------ #
+    def _to_table_rows(self, d: DataFrame, batch_id: int, all_cols: list[str]) -> DataFrame:
+        is_del = F.col("op") == "delete"
+        out = d.select(
+            *KEY_COLUMNS,
+            *[
+                F.col(c).alias(c)
+                for c in all_cols
+                if c not in KEY_COLUMNS and c not in SYSTEM and c in d.columns
+            ],
+            F.col("seq").alias("_ingest_seq"),
+            F.lit(batch_id).cast("long").alias("_batch_id"),
+            is_del.alias("_deleted"),
+        )
+        for c in all_cols:  # columns the delta doesn't carry -> null
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(None).cast("string"))
+        return out.select(*all_cols)
+
+    def _merge_broadcast(
+        self, slice_df: DataFrame, d: DataFrame, delta_rows: DataFrame,
+        all_cols: list[str], batch_id: int,
+    ) -> DataFrame:
+        """Steady-state path: NO shuffle of the target slice.
+
+        1. slice LEFT JOIN broadcast(delta-rows)  -> survivors + in-place
+           winners (delta wins iff strictly higher seq; ties keep target —
+           idempotent re-delivery).
+        2. key-column-only scan of the slice semi-joined to delta ->
+           matched keys (small) -> anti-join gives brand-new keys.
+        """
+        tgt = slice_df
+        for c in all_cols:
+            if c not in tgt.columns:
+                tgt = tgt.withColumn(c, F.lit(None).cast("string"))
+        dr = delta_rows.select(
+            *KEY_COLUMNS,
+            *[F.col(c).alias(f"_d_{c}") for c in all_cols if c not in KEY_COLUMNS],
+        )
+        joined = tgt.join(F.broadcast(dr), KEY_COLUMNS, "left")
+        take = F.col("_d__ingest_seq").isNotNull() & (
+            F.col("_d__ingest_seq") > F.col("_ingest_seq")
+        )
+        resolved = joined.select(
+            *KEY_COLUMNS,
+            *[
+                F.when(take, F.col(f"_d_{c}")).otherwise(F.col(c)).alias(c)
+                for c in all_cols
+                if c not in KEY_COLUMNS
+            ],
+        )
+
+        matched = slice_df.select(*KEY_COLUMNS).join(
+            F.broadcast(d.select(*KEY_COLUMNS)), KEY_COLUMNS, "left_semi"
+        )
+        news = delta_rows.join(F.broadcast(matched), KEY_COLUMNS, "left_anti")
+        return resolved, news
+
+    def _merge_shuffle(
+        self, slice_df: DataFrame, delta_rows: DataFrame, all_cols: list[str]
+    ) -> DataFrame:
+        """Backfill path: one max_by hash-agg over target ∪ delta.
+        Order key (seq, is_target) keeps the target row on seq ties."""
+        t = slice_df.withColumn("_src", F.lit(1))
+        dd = delta_rows.withColumn("_src", F.lit(0))
+        u = t.unionByName(dd, allowMissingColumns=True)
+        for c in all_cols:
+            if c not in u.columns:
+                u = u.withColumn(c, F.lit(None).cast("string"))
+        others = [c for c in all_cols if c not in KEY_COLUMNS]
+        packed = F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(F.col("_ingest_seq"), F.col("_src")),
+        ).alias("_w")
+        win = u.groupBy(*KEY_COLUMNS).agg(packed)
+        return win.select(
+            *KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in others]
+        )
+
+    # ------------------------------------------------------------------ #
+    # hot-repo promotion
+    # ------------------------------------------------------------------ #
+    def _update_hot(
+        self, snap: Snapshot, repo_counts: dict[str, int], n_events: int
+    ) -> list[str]:
+        stats = dict(snap.repo_stats)
+        for r, c in repo_counts.items():
+            stats[r] = stats.get(r, 0) + c
+        # cap driver state: keep top-200 repos by cumulative count
+        if len(stats) > 200:
+            stats = dict(sorted(stats.items(), key=lambda kv: -kv[1])[:200])
+        snap.repo_stats = stats
+        total = int(snap.properties.get("total_events", "0")) + n_events
+        frac = float(snap.properties.get("hot_frac", "0.3"))
+        min_rows = int(snap.properties.get("hot_min_rows", "10000"))
+        promoted = []
+        if total >= min_rows:
+            for r, c in stats.items():
+                if r not in snap.hot_repos and c / total >= frac:
+                    snap.hot_repos.append(r)
+                    promoted.append(r)
+        return promoted
+
+    # ------------------------------------------------------------------ #
+    # file stats / metrics / maintenance
+    # ------------------------------------------------------------------ #
+    def _scan_written(self, rel_dir: str) -> list[FileEntry]:
+        out = []
+        abs_dir = os.path.join(self.root, rel_dir)
+        for name in sorted(os.listdir(abs_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(abs_dir, name)
+            pf = pq.ParquetFile(fp)
+            rows = pf.metadata.num_rows
+            if rows == 0:
+                os.remove(fp)
+                continue
+            tbl = pq.read_table(fp, columns=["bucket", "repo"])
+            buckets = sorted(set(tbl.column("bucket").to_pylist()))
+            repos = tbl.column("repo").to_pylist()
+            out.append(
+                FileEntry(
+                    path=os.path.join(rel_dir, name),
+                    rows=rows,
+                    buckets=[int(b) for b in buckets],
+                    min_repo=min(repos),
+                    max_repo=max(repos),
+                    bytes=os.path.getsize(fp),
+                )
+            )
+        return out
+
+    def _child(self, snap: Snapshot) -> Snapshot:
+        child = Snapshot.from_json(snap.to_json())
+        child.version = snap.version + 1
+        child.parent = snap.version
+        return child
+
+    def _write_metrics(self, batch_id: int, part_rows, t0: float) -> int:
+        """Lineage rows, one per (batch, source partition).  File named by
+        batch id -> re-delivery overwrites identically (idempotent)."""
+        import pyarrow as pa
+
+        latency_ms = int((time.monotonic() - t0) * 1000)
+        mdir = os.path.join(self.root, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        rows = {
+            "batch_id": [batch_id] * max(1, len(part_rows)),
+            "part_id": [int(r["part_id"]) for r in part_rows] or [-1],
+            "start_seq": [int(r["start_seq"]) for r in part_rows] or [-1],
+            "end_seq": [int(r["end_seq"]) for r in part_rows] or [-1],
+            "rows_applied": [int(r["rows_applied"]) for r in part_rows] or [0],
+            "merge_latency_ms": [latency_ms] * max(1, len(part_rows)),
+        }
+        schema = pa.schema(
+            [
+                ("batch_id", pa.int64()),
+                ("part_id", pa.int32()),
+                ("start_seq", pa.int64()),
+                ("end_seq", pa.int64()),
+                ("rows_applied", pa.int64()),
+                ("merge_latency_ms", pa.int64()),
+            ]
+        )
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(pa.table(rows, schema=schema), tmp)
+        os.replace(tmp, os.path.join(mdir, f"batch-{batch_id:08d}.parquet"))
+        return latency_ms
+
+    def metrics(self) -> DataFrame:
+        mdir = os.path.join(self.root, "metrics")
+        return self.spark.read.parquet(mdir)
+
+    def vacuum(self, retain_versions: int = 2) -> list[str]:
+        """Expire old snapshots and delete unreferenced (orphan) data files."""
+        versions = self.history()
+        keep = set(versions[-retain_versions:])
+        referenced: set[str] = set()
+        for v in keep:
+            for e in self.snapshot(v).files:
+                referenced.add(e.path)
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for name in filenames:
+                fp = os.path.join(dirpath, name)
+                rel = os.path.relpath(fp, self.root)
+                if rel not in referenced:
+                    os.remove(fp)
+                    removed.append(rel)
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        for v in versions:
+            if v not in keep:
+                os.remove(self.log._vpath(v))
+        return removed
+
+    def compact(self) -> dict:
+        """Rewrite the whole table into ~one file per bucket (maintenance)."""
+        snap = self.snapshot()
+        df = self._read_files(snap, snap.files).withColumn(
+            "bucket", self._bucket_expr(snap)
+        )
+        n_out = max(1, len({b for e in snap.files for b in e.buckets}))
+        rel_dir = os.path.join("data", f"compact-{uuid.uuid4().hex[:8]}")
+        (
+            df.repartition(n_out, "bucket")
+            .sortWithinPartitions("repo", "path")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.root, rel_dir))
+        )
+        new_entries = self._scan_written(rel_dir)
+        new_snap = self._child(snap)
+        new_snap.files = new_entries
+        self.log.commit(new_snap, expect_parent=snap.version)
+        return {"files_before": len(snap.files), "files_after": len(new_entries)}

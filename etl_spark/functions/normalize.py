@@ -1,0 +1,84 @@
+"""Content normalization — the first row transform of the CDC pipeline.
+
+Rules (applied in order; dual-implemented in ``etl_spark.oracle`` and
+cross-checked by tests):
+
+1. line-ending canonicalization: CRLF / lone CR -> LF
+2. per-line trailing [space,tab] strip
+3. trailing-newline collapse + final-newline policy: non-empty content
+   ends with exactly one ``\\n``; content that normalizes to empty stays ""
+4. unicode NFC normalization
+
+Steps 1–3 are JVM-side regexp expressions (whole-stage codegen, zero
+Python).  Step 4 (NFC) has no Spark builtin, so it runs as a vectorized
+Arrow ``pandas_udf`` — the only Python hop in the pipeline, and the rows
+that need it are gated JVM-side: pure-ASCII content (the overwhelming
+majority of source code) is provably NFC-invariant, so the UDF result is
+only *selected* for rows containing non-ASCII bytes.  NOTE Spark still
+evaluates the UDF column for all rows (conditionals don't short-circuit
+UDF eval); the gate exists so correctness never depends on it, and the
+``split_nonascii`` strategy in ``pipeline.py`` avoids even that cost when
+a batch is entirely ASCII.
+
+Per-row Python UDFs are banned engine-wide (BASELINE.json:15); a
+plan-shape test asserts no BatchEvalPython node ever appears.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+@pandas_udf(StringType())
+def nfc_udf(s: pd.Series) -> pd.Series:
+    """Vectorized NFC normalization (nulls propagate)."""
+    return s.str.normalize("NFC")
+
+
+def normalize_lines(col: Column) -> Column:
+    """Steps 1-3: JVM-side regexp pipeline (stays in whole-stage codegen)."""
+    # (?d) = UNIX_LINES: Java otherwise treats / /  as line
+    # terminators for '$', which Python's re does not — the twin would diverge
+    c = F.regexp_replace(col, "\r\n|\r", "\n")  # 1. CRLF/CR -> LF
+    c = F.regexp_replace(c, "[ \t]+\n", "\n")  # 2. trailing ws before newline
+    c = F.regexp_replace(c, "(?d)[ \t]+$", "")  # 2b. trailing ws at end-of-string
+    c = F.regexp_replace(c, "(?d)\n+$", "")  # 3. collapse trailing newlines
+    return F.when(F.length(c) > 0, F.concat(c, F.lit("\n"))).otherwise(c)
+
+
+def normalize_content(col: Column, nfc: bool = True) -> Column:
+    """Full normalization of a content column (null-safe: null -> null)."""
+    c = normalize_lines(col)
+    if nfc:
+        # ASCII-only strings are NFC-invariant; keep the JVM value for them
+        c = F.when(c.rlike("[^\\x00-\\x7F]"), nfc_udf(c)).otherwise(c)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Python twin (oracle + property tests)
+# ---------------------------------------------------------------------------
+import re  # noqa: E402
+
+_TRAIL_WS_NL = re.compile(r"[ \t]+\n")
+_TRAIL_WS_END = re.compile(r"[ \t]+$")
+_TRAIL_NL = re.compile(r"\n+$")
+
+
+def normalize_content_py(s: str | None) -> str | None:
+    """Reference Python implementation — must match ``normalize_content``."""
+    if s is None:
+        return None
+    s = s.replace("\r\n", "\n").replace("\r", "\n")
+    s = _TRAIL_WS_NL.sub("\n", s)
+    s = _TRAIL_WS_END.sub("", s)
+    s = _TRAIL_NL.sub("", s)
+    if s:
+        s = s + "\n"
+    return unicodedata.normalize("NFC", s)

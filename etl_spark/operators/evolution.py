@@ -1,0 +1,45 @@
+"""Additive schema evolution (BASELINE.json:6: "new columns back-filled
+as nulls").
+
+A mid-stream new column first travels inside the event envelope's
+``extra`` map (so the streaming query never restarts on schema change —
+file sources would otherwise require it).  The sink promotes observed
+extra keys to top-level columns data-driven:
+
+- per batch, one tiny agg discovers the distinct extra keys present;
+- keys already promoted (recorded in the table snapshot's column list)
+  plus newly observed ones become top-level string columns via
+  ``try_element_at(extra, k)`` (null when absent — the back-fill);
+- the table commit bumps ``schema_version`` and appends the columns;
+  readers align old files with nulls (mergeSchema + explicit fill).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.schemas import TABLE_COLUMNS
+
+# names that can never be promoted (core schema + engine internals)
+RESERVED = set(TABLE_COLUMNS) | {"seq", "part_id", "op", "ts", "extra", "bucket"}
+
+
+def observed_extra_keys(batch: DataFrame) -> list[str]:
+    """Distinct keys present in the batch's ``extra`` maps (small agg)."""
+    if "extra" not in batch.columns:
+        return []
+    rows = (
+        batch.select(F.explode(F.map_keys("extra")).alias("k")).distinct().collect()
+    )
+    return sorted(r["k"] for r in rows if r["k"] not in RESERVED)
+
+
+def promote_extra(batch: DataFrame, promoted: list[str]) -> DataFrame:
+    """Lift ``promoted`` extra-map keys to top-level (null-backfilled)."""
+    out = batch
+    for k in promoted:
+        if k in RESERVED or k in out.columns:
+            continue
+        out = out.withColumn(k, F.try_element_at(F.col("extra"), F.lit(k)))
+    return out

@@ -1,0 +1,108 @@
+"""Structured Streaming tailer tests: bounded replay (availableNow),
+resume-from-checkpoint after crash (fixture 5), duplicate file drops."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.catalog.table import LakeTable
+from etl_spark.fixtures import events_df, write_event_batches
+from etl_spark.oracle import FINAL_COLUMNS, replay_events
+from etl_spark.streaming.sink import CdcSink
+from etl_spark.streaming.tailer import run_tailer
+
+
+def _final_state(table):
+    return (
+        table.read()
+        .select(*FINAL_COLUMNS)
+        .toPandas()
+        .sort_values(["repo", "path"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _assert_state_equal(got, want):
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_replay_available_now(spark, tmp_path):
+    ev = events_df(spark, 800, n_repos=8, paths_per_repo=20)
+    event_dir = str(tmp_path / "events")
+    write_event_batches(ev, event_dir, n_batches=4)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8, salt=4)
+    q, sink = run_tailer(
+        t, event_dir, str(tmp_path / "ckpt"), mode="replay", max_files_per_trigger=1
+    )
+    assert len([s for s in sink.applied if not s.get("skipped")]) == 4
+    _assert_state_equal(_final_state(t), replay_events(ev.toPandas()))
+    # watermarks cover every partition
+    assert set(t.snapshot().wm()) == {0, 1, 2, 3}
+
+
+def test_streaming_duplicate_file_redelivery(spark, tmp_path):
+    """The same events re-dropped as extra files (source-level at-least-
+    once): admission + LWW keep the state exactly-once."""
+    ev = events_df(spark, 500, n_repos=6, paths_per_repo=15)
+    event_dir = str(tmp_path / "events")
+    write_event_batches(ev, event_dir, n_batches=3, duplicate_pct=30)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8, salt=4)
+    run_tailer(t, event_dir, str(tmp_path / "ckpt"), mode="replay", max_files_per_trigger=1)
+    _assert_state_equal(_final_state(t), replay_events(ev.toPandas()))
+
+
+class _CrashingSink(CdcSink):
+    """Crashes the stream AFTER the Nth successful commit — simulating a
+    driver death between table commit and Spark checkpoint commit (the
+    worst window: Spark will re-deliver the batch on restart)."""
+
+    def __init__(self, table, crash_after: int):
+        super().__init__(table)
+        self.crash_after = crash_after
+
+    def apply(self, batch_df, batch_id):
+        super().apply(batch_df, batch_id)
+        done = len([s for s in self.applied if not s.get("skipped")])
+        if done >= self.crash_after:
+            raise RuntimeError("injected crash after commit")
+
+
+def test_fixture5_resume_from_checkpoint(spark, tmp_path):
+    from etl_spark.sources.events import read_event_stream
+
+    ev = events_df(spark, 900, n_repos=8, paths_per_repo=20)
+    event_dir = str(tmp_path / "events")
+    write_event_batches(ev, event_dir, n_batches=6)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8, salt=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: crash after 3 committed batches (post-commit, pre-checkpoint)
+    sink = _CrashingSink(t, crash_after=3)
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink.apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    committed_after_crash = t.snapshot().last_batch_id
+    assert committed_after_crash >= 2
+
+    # phase 2: restart from the same checkpoint — the crashed batch is
+    # re-delivered and must hit the fence; the rest applies once each
+    q2, sink2 = run_tailer(t, event_dir, ckpt, mode="replay", max_files_per_trigger=1)
+    fenced = [s for s in sink2.applied if s.get("skipped")]
+    assert fenced, "re-delivered batch must be fenced"
+    _assert_state_equal(_final_state(t), replay_events(ev.toPandas()))
+
+    # lineage: metrics rows exist for every committed batch exactly once
+    m = t.metrics().toPandas()
+    per_batch = m.groupby("batch_id")["part_id"].count()
+    assert (per_batch > 0).all()
+    applied_total = int(m[m.part_id >= 0]["rows_applied"].sum())
+    assert applied_total == 900  # every event applied exactly once

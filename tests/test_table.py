@@ -1,0 +1,107 @@
+"""Snapshot layer: atomic commit, time travel, vacuum, compaction,
+crash-orphan cleanup, commit conflicts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.catalog.snapshot import Snapshot
+from etl_spark.catalog.table import LakeTable
+from etl_spark.fixtures import events_df
+from etl_spark.pipeline import canonicalize
+
+
+def _mk(spark, tmp_path, n=400, **kw):
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4, salt=2, **kw)
+    ev = events_df(spark, n, n_repos=5, paths_per_repo=12)
+    return t, ev
+
+
+def test_time_travel(spark, tmp_path):
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
+    v1 = t.snapshot().version
+    c1 = t.read().count()
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 1)
+    assert t.read(version=v1).count() == c1
+    assert t.read().count() >= c1
+    hist = t.history()
+    assert hist == sorted(hist) and len(hist) >= 3
+
+
+def test_vacuum_removes_orphans_and_old_versions(spark, tmp_path):
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 1)
+    # simulate a crashed commit: data dir written, never committed
+    orphan_dir = os.path.join(t.root, "data", "b99999999-dead")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    before = t.read().count()
+    removed = t.vacuum(retain_versions=1)
+    assert any("dead" in r for r in removed)
+    assert t.read().count() == before  # live state untouched
+    assert len(t.history()) == 1
+
+
+def test_compact_consolidates_files(spark, tmp_path):
+    t, ev = _mk(spark, tmp_path)
+    for b in range(4):
+        chunk = ev.filter(
+            (F.col("seq") >= b * 100) & (F.col("seq") < (b + 1) * 100)
+        )
+        t.apply_batch(canonicalize(chunk), b)
+    before_files = len(t.snapshot().files)
+    before = t.read().orderBy("repo", "path").collect()
+    stats = t.compact()
+    assert stats["files_after"] <= before_files
+    after = t.read().orderBy("repo", "path").collect()
+    assert before == after
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    t, ev = _mk(spark, tmp_path)
+    snap = t.snapshot()
+    child = Snapshot.from_json(snap.to_json())
+    child.version = snap.version + 1
+    child.parent = snap.version
+    t.log.commit(child, expect_parent=snap.version)
+    # a second writer based on the stale parent must fail
+    child2 = Snapshot.from_json(snap.to_json())
+    child2.version = snap.version + 1
+    with pytest.raises(RuntimeError, match="conflict|non-monotonic"):
+        t.log.commit(child2, expect_parent=snap.version)
+
+
+def test_latest_pointer_never_torn(spark, tmp_path):
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev), 0)
+    with open(os.path.join(t.root, "meta", "LATEST")) as f:
+        v = int(f.read().strip())
+    assert v == t.snapshot().version
+
+
+def test_empty_batch_advances_fence(spark, tmp_path):
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev), 0)
+    # an all-duplicate batch still fences its batch id
+    stats = t.apply_batch(canonicalize(ev.limit(50)), 1)
+    assert stats["events"] == 0 and not stats["skipped"]
+    assert t.snapshot().last_batch_id == 1
+
+
+def test_read_by_repo_prunes_files(spark, tmp_path):
+    t, ev = _mk(spark, tmp_path, n=600)
+    t.apply_batch(canonicalize(ev), 0)
+    snap = t.snapshot()
+    got = t.read(repo="repo-1").count()
+    want = t.read().filter(F.col("repo") == "repo-1").count()
+    assert got == want and got > 0
+    # pruning actually reduces the file set
+    b = t._bucket_of_repo(snap, "repo-1")
+    candidate = [e for e in snap.files if set(b) & set(e.buckets)]
+    assert len(candidate) < len(snap.files)
