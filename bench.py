@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries + CDC replay throughput.
+
+Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "cdc": {...}}
+
+The CDC section is the north-rule metric: events/sec sustained through
+the full exactly-once streaming replay (readStream -> foreachBatch ->
+transactional snapshot commits), measured end-to-end including commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CDC_EVENTS = int(os.environ.get("ETL_SPARK_BENCH_EVENTS", "200000"))
+CDC_BATCHES = int(os.environ.get("ETL_SPARK_BENCH_BATCHES", "4"))
+
+# headline query subset: one per operator family, weighted toward the
+# scale-sensitive paths (joins, LSH self-joins, vector math)
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_topk_revenue",
+    "join_region_revenue",
+    "window_top3_orders",
+    "cdc_lww_latest_state",
+    "docs_quality",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "emb_label_stats",
+]
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from etl_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {out[name]:.2f}s ({n} rows)", file=sys.stderr)
+    # scale-path embedding near-dup (sign-LSH bucketed, not the oracle's
+    # quadratic form)
+    from etl_spark.ops.dedup import embedding_neardup_pairs
+
+    t0 = time.monotonic()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = embedding_neardup_pairs(emb, threshold=0.5, bucket_bits=6).count()
+    out["dedup_embedding_neardup_lsh"] = round(time.monotonic() - t0, 3)
+    print(f"  dedup_embedding_neardup_lsh: {out['dedup_embedding_neardup_lsh']:.2f}s"
+          f" ({n} rows)", file=sys.stderr)
+    return out
+
+
+def bench_cdc_replay(spark) -> dict:
+    """Full streaming replay of a generated change stream; returns
+    events/sec including all transactional commit overhead."""
+    from etl_spark.catalog.table import LakeTable
+    from etl_spark.fixtures import events_df, write_event_batches
+    from etl_spark.streaming.tailer import run_tailer
+
+    root = tempfile.mkdtemp(prefix="etl_spark_bench_")
+    try:
+        ev_dir = os.path.join(root, "events")
+        ev = events_df(
+            spark, CDC_EVENTS, seed=42, n_repos=50, paths_per_repo=200, hot_pct=20
+        )
+        write_event_batches(ev, ev_dir, CDC_BATCHES, order="seq")
+        table = LakeTable.create(
+            spark, os.path.join(root, "table"), n_buckets=32, salt=8
+        )
+        t0 = time.monotonic()
+        run_tailer(
+            table,
+            ev_dir,
+            os.path.join(root, "ckpt"),
+            mode="replay",
+            max_files_per_trigger=1,
+        )
+        wall = time.monotonic() - t0
+        n_final = table.read().count()
+        return {
+            "events": CDC_EVENTS,
+            "batches": CDC_BATCHES,
+            "replay_sec": round(wall, 3),
+            "events_per_sec": round(CDC_EVENTS / wall, 1),
+            "final_rows": n_final,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    from etl_spark.config import get_spark
+
+    spark = get_spark("etl_spark-bench", cores=CPUS, shuffle_partitions=2 * CPUS)
+    try:
+        queries = bench_queries(spark)
+        cdc = bench_cdc_replay(spark)
+        print(f"  cdc_replay: {cdc['replay_sec']:.2f}s "
+              f"({cdc['events_per_sec']:.0f} events/s)", file=sys.stderr)
+        queries["cdc_replay"] = cdc["replay_sec"]
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        result = {
+            "metric": "headline_total_sec",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf) if sf else None,
+            "cpus": CPUS,
+            "cdc": cdc,
+        }
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All hash machinery is md5-based so results are engine-portable (the
+DuckDB oracle reproduces them exactly); all pair generation is join-based
+(distributed — never a driver-side loop).
+
+Scale notes (100 TB):
+- exact: one hash-aggregate shuffle on the digest — map-side partial agg
+  collapses duplicates before the shuffle.
+- ngram-Jaccard: candidate pairs come from a self-equi-join on shingle —
+  only documents sharing ≥1 shingle ever meet (no cross join).  Skewed
+  (ultra-common) shingles are the hazard: cap them with a frequency
+  filter (``max_shingle_freq``), the standard posting-list truncation.
+- MinHash+LSH: band buckets make the join key; cost is O(candidates),
+  not O(n²).  Signature/band construction is per-row (no shuffle).
+- SimHash: per-row fingerprint then exact group on it (near-dups collide
+  on the 16-bit fingerprint; widen bits at scale).
+- embedding near-dup: bucketed by sign-LSH before the pair join when
+  ``bucket_bits > 0`` — brute force is quadratic and only for oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.ops.similarity import cosine, sign_bucket
+from etl_spark.ops.text import floor_round, md5_long, shingles, tokens
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group documents by exact content digest.
+
+    One row per distinct content: (text_md5, n_docs, min_doc_id) — the
+    canonical keep-one-representative dedup output.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
+
+
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), k))
+    return df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing a shingle.
+
+    Inverted-index self-join: |A∩B| = count of shared shingles (shingles
+    are de-duplicated per doc first), |A∪B| = |A|+|B|-|A∩B|.  Integers
+    all the way; the final division is a single exact double op, so the
+    result is bit-identical across engines.
+    """
+    sh = _distinct_shingles(df, id_col, text_col, k)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            floor_round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature, no shuffle.
+
+    Hash family i = md5(shingle || '#i'); the minhash is the lexicographic
+    minimum hex digest — any total order on hash values yields a valid
+    MinHash estimator, and hex-string order is engine-portable.
+    Empty docs (no shingles) get null signature components.
+    """
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), k))
+
+    def mh(i: int):
+        # NB: the seed tag must be captured OUTSIDE the lambda — a
+        # two-parameter lambda would be bound by Spark as (element, index)
+        tag = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, tag)))
+        ).alias(f"mh{i}")
+
+    return df.select(F.col(id_col), *[mh(i) for i in range(n_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash LSH candidate pairs: docs agreeing on ≥1 full band.
+
+    bands = n_hashes / band_size; a pair with Jaccard j collides on a
+    band with probability j^band_size — the standard S-curve.  The pair
+    join happens per (band index, band value) bucket, never globally.
+    """
+    assert n_hashes % band_size == 0
+    sigs = minhash_signature(df, id_col, text_col, k, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+    # drop docs with no shingles (null signature -> band key '' would
+    # otherwise cross-match all of them)
+    exploded = (
+        sigs.filter(F.col("mh0").isNotNull())
+        .select(F.col(id_col).alias("_id"), F.posexplode(bands).alias("band", "band_key"))
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint by per-bit majority vote over token hashes.
+
+    Token hash = first bits/4 hex chars of md5 (portable).  For each bit
+    position the votes of all DISTINCT tokens are summed (+1/-1); the
+    fingerprint sets the bit where the vote is positive.  16 bits is
+    right-sized for 10^3–10^5 docs; at 10^9+ widen to 64 and compare by
+    hamming distance over rotated tables.
+    """
+    assert bits % 4 == 0
+    nhex = bits // 4
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    v = md5_long(F.col("tok"), nhex)  # bits-wide token hash
+    votes = (
+        toks.select("_id", v.alias("v"))
+        .select(
+            "_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            F.col("v"),
+        )
+        .withColumn(
+            "vote",
+            (F.floor(F.col("v") / F.pow(F.lit(2), F.col("bit"))).cast("long") % 2) * 2 - 1,
+        )
+        .groupBy("_id", "bit")
+        .agg(F.sum("vote").alias("tally"))
+    )
+    fp = (
+        votes.withColumn(
+            "contrib",
+            F.when(F.col("tally") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy("_id")
+        .agg(F.sum("contrib").alias("simhash"))
+    )
+    return fp.select(F.col("_id").alias(id_col), "simhash")
+
+
+def simhash_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Documents whose SimHash fingerprints collide exactly."""
+    return (
+        simhash(df, id_col, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bucket_bits: int = 0,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine similarity.
+
+    bucket_bits=0: exact quadratic pair join (oracle / small inputs).
+    bucket_bits=b: sign-LSH prefilter — pairs are only compared within a
+    2^b-way bucket (recall<1 but O(n²/2^b) cost; the scale path).
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if bucket_bits > 0:
+        base = base.withColumn("_bkt", sign_bucket(F.col("_v"), bucket_bits))
+        join_on = ["_bkt"]
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, join_on).filter(F.col("a._id") < F.col("b._id"))
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.crossJoin(b).filter(F.col("a._id") < F.col("b._id"))
+    cos = cosine(F.col("a._v"), F.col("b._v"))
+    return (
+        pairs.withColumn("cos_sim", floor_round(cos, 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "cos_sim",
+        )
+    )

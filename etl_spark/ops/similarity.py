@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine``/``dot``/``l2_norm``: higher-order-function expressions —
+  strict left folds in double precision, JVM codegen, no Python.
+- ``brute_force_topk``: exact k-NN for a (small, broadcast) query set —
+  the correctness baseline.  Cost O(|Q|·n); only sane when Q is small.
+- ``sign_bucket``: deterministic axis-aligned sign-LSH code (portable to
+  the SQL oracle — float sign comparison is exact in every engine).
+- ``random_hyperplane_buckets``: the production-grade LSH — seeded
+  Gaussian hyperplanes applied in one Arrow-vectorized pandas UDF
+  (numpy matmul per batch, zero per-row Python).
+- ``ivf_topk``: IVF-style two-stage ANN — coarse quantize every vector
+  to its nearest of k seeded centroids, then search only the probe
+  cells.  The scale path: shuffle is on cell id, each cell is a small
+  localized brute-force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a strict left fold in double (deterministic order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest others.
+
+    The query side is broadcast (small by contract); ranking tie-breaks
+    on neighbor id so output is deterministic.  Returns integer-only
+    columns (query_id, neighbor_id, rank) — rank is stable under float
+    accumulation-order differences unless two cosines tie to ~1e-15.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    base = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+    scored = (
+        base.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cos", cosine(F.col("_qv"), F.col("_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Axis-aligned sign-LSH bucket: bit i set iff vec[i] >= 0.
+
+    Crude but fully deterministic and SQL-portable; the seam for the
+    seeded random-hyperplane variant below.
+    """
+    terms = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH code via one Arrow-vectorized matmul.
+
+    Each Arrow batch becomes a (n, dim) float matrix multiplied against a
+    seeded (dim, bits) Gaussian — the genuinely-random LSH family with
+    collision probability 1 - θ/π per bit.  Executes as ArrowEvalPython
+    (vectorized); the per-batch matmul is the entire Python cost.
+    """
+    planes = np.random.default_rng(seed).standard_normal((dim, bits))
+    weights = np.ascontiguousarray(planes, dtype=np.float64)
+    powers = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(IntegerType())
+    def code(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # (n, dim)
+        signs = mat.astype(np.float64) @ weights >= 0.0  # (n, bits)
+        return pd.Series((signs @ powers).astype(np.int32))
+
+    return df.withColumn(out_col, code(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to seeded random centroids, search
+    only each query's ``n_probe`` nearest cells.
+
+    With real data the centroids come from a k-means fit; seeded random
+    unit centroids keep this deterministic and dependency-free while
+    exercising the identical physical plan (assign → co-partition by
+    cell → local brute force).  Recall < 1 by design; the exact
+    ``brute_force_topk`` is the correctness oracle.
+    """
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    c = np.ascontiguousarray(cents.T, dtype=np.float64)  # (dim, n_cells)
+
+    def assign_udf(n_take: int):
+        @pandas_udf("array<int>")
+        def assign(v: pd.Series) -> pd.Series:
+            mat = np.vstack(v.to_numpy()).astype(np.float64)
+            sims = mat @ c  # (n, n_cells)
+            top = np.argsort(-sims, axis=1)[:, :n_take].astype(np.int32)
+            return pd.Series(list(top))
+
+        return assign
+
+    base = (
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+        .withColumn("cell", F.element_at(assign_udf(1)(F.col("_v")), 1))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("cell", F.explode(assign_udf(n_probe)(F.col("_qv"))))
+    )
+    scored = (
+        base.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cos", cosine(F.col("_qv"), F.col("_v")))
+    )
+    # a (query, neighbor) pair can meet in several probed cells — dedup first
+    best = scored.groupBy("query_id", "neighbor_id").agg(F.max("_cos").alias("_cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,171 @@
+"""CDC queries: the engine's own semantics made driver-verifiable.
+
+Two tiers:
+- SQL-expressible CDC semantics (last-write-wins, high-watermark vector,
+  duplicate-delivery collapse) run over the driver's ``events`` table
+  with full DuckDB oracles — the strong check.
+- Full-engine replay (transactional snapshots, batch-id fencing, merge,
+  lineage): events are synthesized by the deterministic generator and
+  replayed through the real LakeTable; no SQL engine can reproduce the
+  commit protocol, so these are rows-only checks by design.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.queries import load, register
+
+# --------------------------------------------------------------------------
+# SQL-expressible CDC semantics over the driver `events` table
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_lww_latest_state",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+    WHERE rn = 1
+    """,
+)
+def cdc_lww_latest_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Commit-ordered last-write-wins: the engine's core dedup, applied
+    relationally (key=user_id, order=(ts, event_id))."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        load(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "cdc_high_watermarks",
+    """
+    SELECT CAST(user_id % 8 AS BIGINT) AS part_id,
+           MAX(event_id) AS high_watermark, COUNT(*) AS n_events
+    FROM events GROUP BY CAST(user_id % 8 AS BIGINT)
+    """,
+)
+def cdc_high_watermarks(spark: SparkSession, sf: str) -> DataFrame:
+    """Monotonic per-partition high-watermark vector (max applied seq)."""
+    part = (F.col("user_id") % 8).cast("long")
+    return (
+        load(spark, sf, "events")
+        .groupBy(part.alias("part_id"))
+        .agg(F.max("event_id").alias("high_watermark"), F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "cdc_dedup_redelivery",
+    """
+    WITH delivered AS (
+      SELECT event_id, event_type FROM events
+      UNION ALL
+      SELECT event_id, event_type FROM events WHERE event_id % 7 = 0
+    ), deduped AS (SELECT DISTINCT event_id, event_type FROM delivered)
+    SELECT event_type, COUNT(*) AS n_unique FROM deduped GROUP BY event_type
+    """,
+)
+def cdc_dedup_redelivery(spark: SparkSession, sf: str) -> DataFrame:
+    """At-least-once delivery collapse: re-deliver every 7th event, then
+    exact-dedup on the delivery key — counts must match the original."""
+    ev = load(spark, sf, "events").select("event_id", "event_type")
+    delivered = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
+    return (
+        delivered.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+# --------------------------------------------------------------------------
+# full-engine replay (rows-only: the commit protocol has no SQL analog)
+# --------------------------------------------------------------------------
+
+_REPLAY_CACHE: dict[str, str] = {}
+_N_EVENTS = 4000
+_N_BATCHES = 3
+
+
+def _replayed_table(spark: SparkSession, sf: str):
+    """Replay a deterministic event stream through the real LakeTable
+    once per (session, sf) and cache the table root."""
+    from etl_spark.catalog.table import LakeTable
+    from etl_spark.fixtures import events_df, write_event_batches
+    from etl_spark.pipeline import canonicalize
+
+    key = f"{id(spark.sparkContext)}:{sf}"
+    root = _REPLAY_CACHE.get(key)
+    if root and os.path.exists(os.path.join(root, "table", "_snapshots")):
+        return LakeTable.load(spark, os.path.join(root, "table"))
+
+    root = tempfile.mkdtemp(prefix="etl_spark_cdcq_")
+    _REPLAY_CACHE[key] = root
+    ev_dir = os.path.join(root, "events")
+    ev = events_df(spark, _N_EVENTS, seed=42, hot_pct=20)
+    batches = write_event_batches(
+        ev, ev_dir, _N_BATCHES, order="shuffled", duplicate_pct=10
+    )
+    table = LakeTable.create(spark, os.path.join(root, "table"), n_buckets=8, salt=4)
+    for bid, p in enumerate(batches):
+        batch = spark.read.parquet(p)
+        table.apply_batch(canonicalize(batch), bid, delivery="unordered")
+    return table
+
+
+@register("cdc_replay_final_state")
+def cdc_replay_final_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: full exactly-once replay -> final lake state with the
+    per-row sha256 invariant column."""
+    table = _replayed_table(spark, sf)
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content_sha"
+    ).orderBy("repo", "path")
+
+
+@register("cdc_time_travel_versions")
+def cdc_time_travel_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot time travel: live row count at every committed version."""
+    table = _replayed_table(spark, sf)
+    rows = []
+    for v in table.history():
+        snap = table.snapshot(v)
+        n = table.read(version=v).count()
+        rows.append((v, n, snap.last_batch_id, snap.schema_version))
+    return spark.createDataFrame(
+        rows, "version long, n_live_rows long, last_batch_id long, schema_version long"
+    )
+
+
+@register("cdc_metrics_lineage")
+def cdc_metrics_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(batch x partition) lineage written by the transactional sink."""
+    table = _replayed_table(spark, sf)
+    metrics = os.path.join(table.root, "metrics")
+    return (
+        spark.read.parquet(metrics)
+        .select("batch_id", "part_id", "start_seq", "end_seq", "rows_applied")
+        .orderBy("batch_id", "part_id")
+    )
+
+
+def cleanup_replay_cache() -> None:
+    for root in _REPLAY_CACHE.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _REPLAY_CACHE.clear()

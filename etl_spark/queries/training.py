@@ -1,0 +1,333 @@
+"""Training-data pipeline queries: dedup / similarity / text analysis /
+multimodal plumbing over the ``documents`` and ``embeddings`` tables.
+
+Every hash used here is md5-derived (engine-portable), so even MinHash
+and SimHash — normally "non-SQL-expressible" — get full DuckDB oracles.
+The oracle SQL mirrors the Spark expression tree operation-for-operation
+(same fold order, same division order) so doubles agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.ops import dedup, multimodal, similarity, text
+from etl_spark.queries import load, register
+
+# shared DuckDB fragments (mirror etl_spark.ops.text exactly)
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks) - 2),"
+    " i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END"
+)
+_STOPS = "('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+_DDOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DDOT.format(a=a, b=b)} / "
+        f"(sqrt({_DDOT.format(a=a, b=a)}) * sqrt({_DDOT.format(a=b, b=b)}))"
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           floor((list_sum(list_transform(toks, x -> length(x))) / len(toks)) * 10000)
+             / 10000 AS avg_token_len
+    FROM t
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_stats(load(spark, sf, "documents"))
+
+
+@register(
+    "docs_quality",
+    f"""
+    WITH t AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, n_chars, len(toks) AS n,
+                      len(list_filter(toks, x -> x IN {_STOPS})) AS stop_hits,
+                      list_sum(list_transform(toks, x -> length(x))) AS sum_len
+               FROM t)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n AS BIGINT) AS n_tokens,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           floor((least(n / 100.0, 1.0) * 0.5 + (stop_hits / n) * 0.3
+                 + least((sum_len / n) / 8.0, 1.0) * 0.2) * 10000) / 10000 AS quality
+    FROM s
+    """,
+)
+def docs_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_score(load(spark, sf, "documents"))
+
+
+@register(
+    "docs_lang_guess",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         h AS (SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('the','a','and','of','is'))) AS en,
+                 len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de,
+                 len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS fr,
+                 len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS es
+               FROM t)
+    SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                WHEN fr >= es AND fr > 0 THEN 'fr'
+                WHEN es > 0 THEN 'es'
+                ELSE 'unk' END AS lang_guess,
+           CAST(en AS BIGINT) AS en_hits, CAST(de AS BIGINT) AS de_hits,
+           CAST(fr AS BIGINT) AS fr_hits, CAST(es AS BIGINT) AS es_hits
+    FROM h
+    """,
+)
+def docs_lang_guess(spark: SparkSession, sf: str) -> DataFrame:
+    return text.lang_id(load(spark, sf, "documents"))
+
+
+@register(
+    "docs_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         d AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM t)
+    SELECT doc_id,
+           list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS fp_min_hash,
+           CAST(len(sh) AS BIGINT) AS n_shingles
+    FROM d
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(load(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dup_groups(load(spark, sf, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         sh AS (SELECT doc_id AS _id, unnest(list_distinct({_SHINGLES})) AS shingle FROM t),
+         sizes AS (SELECT _id, COUNT(*) AS n FROM sh GROUP BY _id),
+         inter AS (SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_common
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a._id < b._id
+                   GROUP BY a._id, b._id)
+    SELECT id_a, id_b, n_common,
+           floor((n_common / (sa.n + sb.n - n_common)) * 1000000) / 1000000 AS jaccard
+    FROM inter JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+    WHERE floor((n_common / (sa.n + sb.n - n_common)) * 1000000) / 1000000 >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.05)
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         d AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM t)
+    SELECT doc_id,
+           {', '.join(
+               f"list_aggregate(list_transform(sh, s -> md5(s || '#{i}')), 'min') AS mh{i}"
+               for i in range(6)
+           )}
+    FROM d
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_signature(load(spark, sf, "documents"), n_hashes=6)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         d AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM t),
+         sig AS (SELECT doc_id,
+                   {', '.join(
+                       f"list_aggregate(list_transform(sh, s -> md5(s || '#{i}')), 'min') AS mh{i}"
+                       for i in range(6)
+                   )}
+                 FROM d WHERE len(sh) > 0),
+         bands AS (
+           SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+           UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf, "documents"), n_hashes=6, band_size=2
+    )
+
+
+@register(
+    "dedup_simhash_docs",
+    """
+    WITH t AS (SELECT doc_id,
+                 list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+               FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         v AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS v FROM tok),
+         votes AS (SELECT doc_id, bit,
+                     SUM((CAST(floor(v / power(2, bit)) AS BIGINT) % 2) * 2 - 1) AS tally
+                   FROM v, (SELECT unnest(generate_series(0, 15)) AS bit) bits
+                   GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN tally > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf, "documents"), bits=16)
+
+
+@register(
+    "dedup_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(({_cos_sql('a.embedding', 'b.embedding')}) * 10000) / 10000 AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE floor(({_cos_sql('a.embedding', 'b.embedding')}) * 10000) / 10000 >= 0.5
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(
+        load(spark, sf, "embeddings"), threshold=0.5, bucket_bits=0
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         base AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id,
+                      {_cos_sql('qv', 'v')} AS cos
+                    FROM q JOIN base ON neighbor_id <> query_id),
+         ranked AS (SELECT query_id, neighbor_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+                    FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "ann_sign_lsh_buckets",
+    f"""
+    SELECT bucket, COUNT(*) AS n_vectors FROM (
+      SELECT CAST({' + '.join(
+          f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+          for i in range(8)
+      )} AS BIGINT) AS bucket
+      FROM embeddings) GROUP BY bucket
+    """,
+)
+def ann_sign_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return (
+        emb.select(similarity.sign_bucket(F.col("embedding"), 8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+# random-hyperplane LSH + IVF ANN: seeded-numpy hyperplanes/centroids are
+# not reproducible in SQL -> rows-only driver check (weaker, by design)
+@register("ann_random_hyperplane_buckets")
+def ann_random_hyperplane_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return (
+        similarity.random_hyperplane_buckets(emb, bits=8, dim=64, seed=42)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4
+    )
+
+
+@register(
+    "emb_label_stats",
+    f"""
+    SELECT label, COUNT(*) AS n_vectors,
+           floor((SUM(sqrt({_DDOT.format(a='embedding', b='embedding')})) / COUNT(*))
+                 * 10000) / 10000 AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def emb_label_stats(spark: SparkSession, sf: str) -> DataFrame:
+    norm = similarity.l2_norm(F.col("embedding"))
+    return (
+        load(spark, sf, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            text.floor_round(F.sum(norm) / F.count("*"), 4).alias("avg_norm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (decoders stubbed -> rows-only checks)
+# --------------------------------------------------------------------------
+
+
+@register("mm_image_features")
+def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", kind="image")
+    return multimodal.extract_image_features(media)
+
+
+@register("mm_video_frame_sample")
+def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", kind="video")
+    return multimodal.sample_video_frames(media, every_n=10)
