@@ -24,8 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_EVENTS = int(os.environ.get("ETL_SPARK_BENCH_EVENTS", "200000"))
+CDC_EVENTS = int(os.environ.get("ETL_SPARK_BENCH_EVENTS", "400000"))
 CDC_BATCHES = int(os.environ.get("ETL_SPARK_BENCH_BATCHES", "4"))
+CDC_WARMUP = int(os.environ.get("ETL_SPARK_BENCH_WARMUP", "20000"))
 
 # headline query subset: one per operator family, weighted toward the
 # scale-sensitive paths (joins, LSH self-joins, vector math)
@@ -75,6 +76,19 @@ def bench_cdc_replay(spark) -> dict:
 
     root = tempfile.mkdtemp(prefix="etl_spark_bench_")
     try:
+        # warm-up replay into a scratch table: pays the one-time JVM
+        # whole-stage-codegen + Arrow-Python-worker costs so the measured
+        # number is SUSTAINED throughput (the 10^10-event steady state),
+        # not cold-start latency
+        if CDC_WARMUP > 0:
+            wev = events_df(spark, CDC_WARMUP, seed=7)
+            write_event_batches(wev, os.path.join(root, "wev"), 2, order="seq")
+            wt = LakeTable.create(spark, os.path.join(root, "wtable"), n_buckets=8)
+            run_tailer(
+                wt, os.path.join(root, "wev"), os.path.join(root, "wckpt"),
+                mode="replay", max_files_per_trigger=1,
+            )
+
         ev_dir = os.path.join(root, "events")
         ev = events_df(
             spark, CDC_EVENTS, seed=42, n_repos=50, paths_per_repo=200, hot_pct=20

@@ -207,9 +207,18 @@ class LakeTable:
             d0.unpersist()
 
     def _apply_inner(self, d0, d, batch_id, snap, strategy, t0) -> dict:
-        # -- per-partition lineage + watermark + volume, one agg job ------
-        part_rows = (
-            d0.groupBy("part_id")
+        phases: dict[str, float] = {}
+
+        def mark(name: str, since: float) -> float:
+            now = time.monotonic()
+            phases[name] = round(now - since, 3)
+            return now
+
+        # -- lineage + watermark + hot-repo stats in ONE aggregation job
+        # (grouping sets: by part_id for the watermark vector / metrics,
+        # by repo for skew accounting) --------------------------------
+        stats_rows = (
+            d0.groupingSets([["part_id"], ["repo"]], "part_id", "repo")
             .agg(
                 F.min("seq").alias("start_seq"),
                 F.max("seq").alias("end_seq"),
@@ -217,8 +226,10 @@ class LakeTable:
             )
             .collect()
         )
+        part_rows = [r for r in stats_rows if r["part_id"] is not None]
         batch_wm = {int(r["part_id"]): int(r["end_seq"]) for r in part_rows}
         n_events = sum(int(r["rows_applied"]) for r in part_rows)
+        tp = mark("stats_job", t0)
 
         if n_events == 0:
             # all-duplicate batch: still commit the fence so replay skips it
@@ -230,8 +241,9 @@ class LakeTable:
 
         # -- hot-repo accounting + promotion (before bucket assignment) ---
         repo_counts = {
-            r["repo"]: int(r["cnt"])
-            for r in d0.groupBy("repo").agg(F.count("*").alias("cnt")).collect()
+            r["repo"]: int(r["rows_applied"])
+            for r in stats_rows
+            if r["repo"] is not None
         }
         new_snap = self._child(snap)
         promoted = self._update_hot(new_snap, repo_counts, n_events)
@@ -249,10 +261,12 @@ class LakeTable:
         bucket = key_bucket(
             F.col("repo"), F.col("path"), new_snap.n_buckets, new_snap.hot_repos, new_snap.salt
         )
-        touched = {
-            int(r["bucket"])
-            for r in d.select(bucket.alias("bucket")).distinct().collect()
-        } | migrate_buckets
+        # bucket histogram doubles as the delta-key count (saves a job)
+        bucket_rows = (
+            d.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt")).collect()
+        )
+        touched = {int(r["bucket"]) for r in bucket_rows} | migrate_buckets
+        tp = mark("bucket_job", tp)
 
         slice_entries = [e for e in snap.files if set(e.buckets) & touched]
         carried = [e for e in snap.files if not (set(e.buckets) & touched)]
@@ -270,7 +284,7 @@ class LakeTable:
             new_snap.columns = all_cols
             new_snap.schema_version = snap.schema_version + 1
 
-        d_count = d.count()
+        d_count = sum(int(r["cnt"]) for r in bucket_rows)
         if strategy == "auto":
             thr = int(snap.properties.get("broadcast_threshold_rows", "2000000"))
             strategy = "broadcast" if d_count <= thr else "shuffle"
@@ -307,7 +321,9 @@ class LakeTable:
         rel_dir = os.path.join("data", f"b{batch_id:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel_dir)
         merged.write.mode("overwrite").parquet(out_dir)
+        tp = mark("merge_write", tp)
         new_entries = self._scan_written(rel_dir)
+        tp = mark("scan_written", tp)
 
         # -- commit ---------------------------------------------------------
         new_snap.files = carried + new_entries
@@ -320,10 +336,12 @@ class LakeTable:
         )
         self.log.commit(new_snap, expect_parent=snap.version)
         latency_ms = self._write_metrics(batch_id, part_rows, t0)
+        mark("commit", tp)
 
         return {
             "batch_id": batch_id,
             "skipped": False,
+            "phases": phases,
             "events": n_events,
             "delta_keys": d_count,
             "strategy": strategy,

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_spark.ops.similarity import cosine, sign_bucket
-from etl_spark.ops.text import floor_round, md5_long, shingles, tokens
+from etl_spark.ops.text import floor_round, md5_long, shingles, spread, tokens
 
 
 def exact_dup_groups(
@@ -51,7 +51,7 @@ def _distinct_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
     sh = F.array_distinct(shingles(tokens(F.col(text_col)), k))
-    return df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("shingle"))
+    return spread(df).select(F.col(id_col).alias("_id"), F.explode(sh).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -116,18 +116,21 @@ def minhash_signature(
     minimum hex digest — any total order on hash values yields a valid
     MinHash estimator, and hex-string order is engine-portable.
     Empty docs (no shingles) get null signature components.
+
+    Plan shape: ONE explode pass builds each document's distinct shingle
+    set, then a single hash aggregation computes all n_hashes minima
+    (map-side partial agg collapses to one signature row per doc before
+    the shuffle).  An array-expression formulation would rebuild the
+    shingle array once per hash column — n_hashes× the work.
     """
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), k))
-
-    def mh(i: int):
-        # NB: the seed tag must be captured OUTSIDE the lambda — a
-        # two-parameter lambda would be bound by Spark as (element, index)
-        tag = F.lit(f"#{i}")
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(s, tag)))
-        ).alias(f"mh{i}")
-
-    return df.select(F.col(id_col), *[mh(i) for i in range(n_hashes)])
+    sh = _distinct_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+    # keep docs with no shingles (null signature), mirroring SQL semantics
+    return df.select(F.col(id_col)).join(sigs, id_col, "left")
 
 
 def minhash_lsh_pairs(
@@ -154,10 +157,14 @@ def minhash_lsh_pairs(
         ]
     )
     # drop docs with no shingles (null signature -> band key '' would
-    # otherwise cross-match all of them)
+    # otherwise cross-match all of them).  Persist the (tiny) band table:
+    # the self-join would otherwise recompute the full shingle+md5
+    # signature pipeline for BOTH sides — at corpus scale this is the
+    # "materialize the signature stage" idiom.
     exploded = (
         sigs.filter(F.col("mh0").isNotNull())
         .select(F.col(id_col).alias("_id"), F.posexplode(bands).alias("band", "band_key"))
+        .persist()
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
@@ -184,7 +191,7 @@ def simhash(
     """
     assert bits % 4 == 0
     nhex = bits // 4
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )

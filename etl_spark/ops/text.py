@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work is distributed.
+
+    A small corpus often arrives as one parquet file -> one task, which
+    serializes shingling/hashing.  Repartition round-robin up to the
+    cluster parallelism; inputs that already have enough partitions (the
+    100 TB case) pass through untouched — no gratuitous shuffle.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def tokens(col: Column) -> Column:
     """Non-empty whitespace tokens (split on single space; empties dropped)."""
     return F.filter(F.split(col, " "), lambda x: x != F.lit(""))

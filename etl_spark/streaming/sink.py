@@ -35,6 +35,13 @@ class CdcSink:
         self.applied: list[dict] = []  # per-batch stats (driver-side diag)
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        # a binlog segment lands as ONE file -> the scan is one task, and
+        # Catalyst computes projections BELOW the first exchange, so the
+        # whole normalize/NFC/sha256 pipeline would run single-threaded.
+        # Shuffle the cheap raw envelope across the executors first.
+        cores = self.table.spark.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < cores:
+            batch_df = batch_df.repartition(cores, "part_id", "seq")
         canon = canonicalize(batch_df, nfc=self.nfc)
         # additive schema evolution: already-promoted columns (from the
         # snapshot) + any new extra keys observed in this batch
