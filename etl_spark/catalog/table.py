@@ -34,6 +34,7 @@ manifest JSON would shard into Iceberg-style manifest lists — the
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -179,14 +180,21 @@ class LakeTable:
         batch_id: int,
         delivery: str = "ordered",
         strategy: str = "auto",
+        canonicalizer=None,
     ) -> dict:
-        """Exactly-once merge of one canonical micro-batch.
+        """Exactly-once merge of one micro-batch.
 
         delivery='ordered'   — source honors per-partition prefix replay;
                                events at-or-below the watermark are dropped
                                as duplicates (fast path).
         delivery='unordered' — no admission filter; correctness rests on
                                the tombstoned LWW merge alone.
+        canonicalizer        — optional transform (normalize/tag/sha256)
+                               applied AFTER last-write-wins dedup, so the
+                               expensive row pipeline runs once per
+                               winning key instead of once per event.
+                               When None, ``batch_df`` must already be
+                               canonical.
         Returns a stats dict (also the metrics-table rows' source).
         """
         t0 = time.monotonic()
@@ -194,19 +202,36 @@ class LakeTable:
         if batch_id <= snap.last_batch_id:
             return {"batch_id": batch_id, "skipped": True, "reason": "fenced"}
 
-        d0 = batch_df.dropDuplicates(["part_id", "seq"])
+        # NO Spark cache anywhere: the in-memory columnar store was
+        # measured as the bottleneck on KB-wide content rows (~10s per
+        # 800MB encode/decode, and it does not scale with cores).
+        # Instead: (a) the lineage/stats job runs on a NARROW projection
+        # (parquet column pruning keeps content entirely unread) with its
+        # own exact dedup, (b) the data path goes straight into the LWW
+        # window — ONE shuffle, by key; identical re-delivered rows sort
+        # adjacently and row_number keeps exactly one, so a separate
+        # dropDuplicates shuffle is redundant — and (c) the canonical
+        # delta is STAGED once as parquet, written and re-read in
+        # parallel; every consumer below scans the stage.
+        d0 = batch_df.select("part_id", "seq", "repo").dropDuplicates(
+            ["part_id", "seq"]
+        )
+        data = batch_df
         if delivery == "ordered" and snap.watermarks:
             d0 = admission_filter(d0, snap.wm(), self.spark)
+            data = admission_filter(data, snap.wm(), self.spark)
 
-        d0 = d0.persist()
-        d = lww_latest(d0, KEY_COLUMNS, "seq").persist()
+        d = lww_latest(data, KEY_COLUMNS, "seq")
+        if canonicalizer is not None:
+            d = canonicalizer(d)
+        stage_rel = os.path.join("tmp", f"stage-{batch_id:08d}-{uuid.uuid4().hex[:8]}")
+        stage_dir = os.path.join(self.root, stage_rel)
         try:
-            return self._apply_inner(d0, d, batch_id, snap, strategy, t0)
+            return self._apply_inner(d0, d, batch_id, snap, strategy, t0, stage_dir)
         finally:
-            d.unpersist()
-            d0.unpersist()
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
-    def _apply_inner(self, d0, d, batch_id, snap, strategy, t0) -> dict:
+    def _apply_inner(self, d0, d, batch_id, snap, strategy, t0, stage_dir) -> dict:
         phases: dict[str, float] = {}
 
         def mark(name: str, since: float) -> float:
@@ -216,9 +241,11 @@ class LakeTable:
 
         # -- lineage + watermark + hot-repo stats in ONE aggregation job
         # (grouping sets: by part_id for the watermark vector / metrics,
-        # by repo for skew accounting) --------------------------------
+        # by repo for skew accounting).  Narrow projection: parquet
+        # column pruning means the content column is never read here. ---
         stats_rows = (
-            d0.groupingSets([["part_id"], ["repo"]], "part_id", "repo")
+            d0.select("part_id", "seq", "repo")
+            .groupingSets([["part_id"], ["repo"]], "part_id", "repo")
             .agg(
                 F.min("seq").alias("start_seq"),
                 F.max("seq").alias("end_seq"),
@@ -258,14 +285,30 @@ class LakeTable:
             )
             migrate_buckets.add(int(row["b"]))
 
+        # -- stage the canonical delta: the LWW + canonicalize pipeline
+        # materializes exactly once, in parallel; every consumer below
+        # (bucket histogram, merge, broadcast build) scans the stage ----
+        d.write.mode("overwrite").parquet(stage_dir)
+        d = self.spark.read.parquet(stage_dir)
+        tp = mark("stage_delta", tp)
+
         bucket = key_bucket(
             F.col("repo"), F.col("path"), new_snap.n_buckets, new_snap.hot_repos, new_snap.salt
         )
-        # bucket histogram doubles as the delta-key count (saves a job)
+        # bucket histogram doubles as the delta-key count AND the exact
+        # delta payload size (drives broadcast-vs-shuffle below)
+        size_expr = (
+            F.sum(F.length(F.coalesce(F.col("content"), F.lit(""))) + 64)
+            if "content" in d.columns
+            else F.sum(F.lit(64))
+        )
         bucket_rows = (
-            d.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt")).collect()
+            d.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("cnt"), size_expr.alias("bytes"))
+            .collect()
         )
         touched = {int(r["bucket"]) for r in bucket_rows} | migrate_buckets
+        delta_bytes = sum(int(r["bytes"] or 0) for r in bucket_rows)
         tp = mark("bucket_job", tp)
 
         slice_entries = [e for e in snap.files if set(e.buckets) & touched]
@@ -287,7 +330,16 @@ class LakeTable:
         d_count = sum(int(r["cnt"]) for r in bucket_rows)
         if strategy == "auto":
             thr = int(snap.properties.get("broadcast_threshold_rows", "2000000"))
-            strategy = "broadcast" if d_count <= thr else "shuffle"
+            thr_bytes = int(
+                snap.properties.get("broadcast_threshold_bytes", str(64 << 20))
+            )
+            # broadcasting the delta ships it through the driver once —
+            # only sane when the payload is genuinely small
+            strategy = (
+                "broadcast"
+                if d_count <= thr and delta_bytes <= thr_bytes
+                else "shuffle"
+            )
 
         delta_rows = self._to_table_rows(d, batch_id, all_cols)
         bexpr = key_bucket(
@@ -416,22 +468,26 @@ class LakeTable:
     def _merge_shuffle(
         self, slice_df: DataFrame, delta_rows: DataFrame, all_cols: list[str]
     ) -> DataFrame:
-        """Backfill path: one max_by hash-agg over target ∪ delta.
-        Order key (seq, is_target) keeps the target row on seq ties."""
+        """Backfill path: window LWW over target ∪ delta — one shuffle by
+        key, sort-based (no per-key row-struct buffering: a max_by
+        hash-agg was measured to anti-scale on wide rows at high core
+        counts).  Order key (_ingest_seq DESC, _src DESC) keeps the
+        target row on seq ties (idempotent re-delivery)."""
+        from pyspark.sql import Window
+
         t = slice_df.withColumn("_src", F.lit(1))
         dd = delta_rows.withColumn("_src", F.lit(0))
         u = t.unionByName(dd, allowMissingColumns=True)
         for c in all_cols:
             if c not in u.columns:
                 u = u.withColumn(c, F.lit(None).cast("string"))
-        others = [c for c in all_cols if c not in KEY_COLUMNS]
-        packed = F.max_by(
-            F.struct(*[F.col(c) for c in others]),
-            F.struct(F.col("_ingest_seq"), F.col("_src")),
-        ).alias("_w")
-        win = u.groupBy(*KEY_COLUMNS).agg(packed)
-        return win.select(
-            *KEY_COLUMNS, *[F.col(f"_w.{c}").alias(c) for c in others]
+        w = Window.partitionBy(*KEY_COLUMNS).orderBy(
+            F.desc("_ingest_seq"), F.desc("_src")
+        )
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*all_cols)
         )
 
     # ------------------------------------------------------------------ #

@@ -31,8 +31,13 @@ def spark_conf(cores: int | None = None, shuffle_partitions: int | None = None) 
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-        # content strings are wide; keep scan splits moderate
-        "spark.sql.files.maxPartitionBytes": "134217728",
+        # smaller scan splits: a binlog segment is one file, and split
+        # granularity (bounded below by parquet row-group size) is the
+        # ONLY source of scan parallelism on the no-shuffle data path;
+        # 16MB row groups make every engine-written file splittable that
+        # fine (and sharpen manifest min/max pruning granularity)
+        "spark.sql.files.maxPartitionBytes": "33554432",
+        "spark.hadoop.parquet.block.size": str(16 * 1024 * 1024),
         "spark.sql.parquet.compression.codec": "snappy",
         # deterministic: never infer schemas off sampled data
         "spark.sql.streaming.schemaInference": "false",

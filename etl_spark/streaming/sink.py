@@ -35,20 +35,23 @@ class CdcSink:
         self.applied: list[dict] = []  # per-batch stats (driver-side diag)
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        # a binlog segment lands as ONE file -> the scan is one task, and
-        # Catalyst computes projections BELOW the first exchange, so the
-        # whole normalize/NFC/sha256 pipeline would run single-threaded.
-        # Shuffle the cheap raw envelope across the executors first.
-        cores = self.table.spark.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < cores:
-            batch_df = batch_df.repartition(cores, "part_id", "seq")
-        canon = canonicalize(batch_df, nfc=self.nfc)
+        # NB: scan parallelism comes from file splits (the engine config
+        # lowers files.maxPartitionBytes, and event segments are written
+        # with small parquet row groups) — no repartition here: the data
+        # path's only pre-merge shuffle is the LWW window itself.
         # additive schema evolution: already-promoted columns (from the
         # snapshot) + any new extra keys observed in this batch
         already = [c for c in self.table.snapshot().columns if c not in TABLE_COLUMNS]
         new = observed_extra_keys(batch_df) if self.auto_promote_extra else []
         promoted = already + [k for k in new if k not in already]
-        if promoted:
-            canon = promote_extra(canon, promoted)
-        stats = self.table.apply_batch(canon, batch_id, delivery=self.delivery)
+
+        def canon(df: DataFrame) -> DataFrame:
+            c = canonicalize(df, nfc=self.nfc)
+            return promote_extra(c, promoted) if promoted else c
+
+        # canonicalize runs inside apply_batch AFTER LWW dedup — the
+        # normalize/NFC/sha256 pipeline prices winning keys, not events
+        stats = self.table.apply_batch(
+            batch_df, batch_id, delivery=self.delivery, canonicalizer=canon
+        )
         self.applied.append(stats)

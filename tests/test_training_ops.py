@@ -1,0 +1,212 @@
+"""Behavioral tests for the training-data ops (dedup / similarity /
+text / multimodal) — semantics the SQL-oracle parity can't express:
+recall properties, determinism, plan vectorization, stub contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.ops import dedup, multimodal, similarity
+from etl_spark.ops.text import fingerprint, lang_id, quality_score, token_stats
+from etl_spark.plans.guard import assert_vectorized, executed_plan_str
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+            (4, "completely different text about spark engines here"),
+            (5, "xy"),  # too short for 3-shingles
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------- #
+# dedup
+# ---------------------------------------------------------------------- #
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = {r["keep_doc_id"]: r["n_docs"] for r in dedup.exact_dup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1+2 collapse
+    assert sum(groups.values()) == 5
+
+
+def test_ngram_jaccard_identical_and_near(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical -> jaccard 1
+    assert 0.3 < pairs[(1, 3)] < 1.0  # one-word edit -> high but < 1
+    assert (1, 4) not in pairs  # no shared shingle
+
+
+def test_minhash_lsh_finds_identical_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in dedup.minhash_lsh_pairs(docs, n_hashes=6, band_size=2).collect()
+    }
+    assert pairs[(1, 2)] == 3  # identical docs agree on every band
+    assert (1, 4) not in pairs  # disjoint shingles never collide on a band
+
+
+def test_minhash_short_doc_null_signature(spark, docs):
+    sig = {r["doc_id"]: r["mh0"] for r in dedup.minhash_signature(docs).collect()}
+    assert sig[5] is None  # no 3-shingles -> null signature
+    assert sig[1] == sig[2]
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fps[1] == fps[2]
+    assert 0 <= fps[1] < 2**16
+    groups = dedup.simhash_dup_groups(docs).collect()
+    assert any(r["n_docs"] >= 2 for r in groups)
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 200)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_pairs(sub, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_pairs(sub, threshold=0.3, bucket_bits=4).collect()
+    }
+    assert lsh <= exact  # bucketing may lose recall, never adds false pairs
+    assert exact, "threshold chosen to yield at least one pair"
+
+
+# ---------------------------------------------------------------------- #
+# similarity search
+# ---------------------------------------------------------------------- #
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark, emb):
+    q = emb.filter(F.col("vec_id") < 4)
+    res = similarity.brute_force_topk(emb, q, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    for qid, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3]
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low at n_probe=8/16"
+
+
+def test_random_hyperplane_deterministic(spark, emb):
+    a = similarity.random_hyperplane_buckets(emb, bits=8, seed=42).collect()
+    b = similarity.random_hyperplane_buckets(emb, bits=8, seed=42).collect()
+    assert {(r["vec_id"], r["bucket"]) for r in a} == {
+        (r["vec_id"], r["bucket"]) for r in b
+    }
+    assert all(0 <= r["bucket"] < 256 for r in a)
+
+
+# ---------------------------------------------------------------------- #
+# text analysis
+# ---------------------------------------------------------------------- #
+
+
+def test_token_and_quality_stats(spark, docs):
+    ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert ts[1]["n_tokens"] == 9
+    assert ts[1]["n_distinct_tokens"] == 8  # 'the' twice
+    qs = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0.0 <= qs[1]["quality"] <= 1.0
+    assert qs[1]["stop_hits"] == 2  # 'the' twice; 'over' is not a stopword
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze ist hier"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "unk"}
+
+
+def test_fingerprint_stable_under_duplication(spark, docs):
+    fps = {r["doc_id"]: r["fp_min_hash"] for r in fingerprint(docs).collect()}
+    assert fps[1] == fps[2]
+    assert fps[5] is None  # no shingles
+
+
+# ---------------------------------------------------------------------- #
+# multimodal plumbing
+# ---------------------------------------------------------------------- #
+
+
+def test_media_features_deterministic(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    feats = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    assert feats[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert feats[1]["sha256"] == feats[2]["sha256"]  # same payload
+    assert 64 <= feats[1]["width"] < 256 and feats[1]["mode"] in ("RGB", "RGBA", "L")
+    again = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    assert feats[1]["width"] == again[1]["width"]
+
+
+def test_resize_stub_raises_without_pil(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        multimodal.resize_images(media, 64, 64).collect()
+
+
+def test_video_frame_sampling_shape(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text", kind="video")
+    frames = multimodal.sample_video_frames(media, every_n=1).collect()
+    assert len(frames) > 0
+    assert all(r["frame_idx"] >= 0 and len(r["frame_key"]) == 64 for r in frames)
+
+
+# ---------------------------------------------------------------------- #
+# plan shape: zero per-row Python anywhere in the ops layer
+# ---------------------------------------------------------------------- #
+
+
+def test_ops_plans_are_vectorized(spark, docs, emb):
+    for df in [
+        token_stats(docs),
+        quality_score(docs),
+        dedup.minhash_signature(docs),
+        dedup.simhash(docs),
+        dedup.embedding_neardup_pairs(emb.limit(50)),
+        similarity.random_hyperplane_buckets(emb.limit(50)),
+    ]:
+        assert_vectorized(df)
+    # pure-expression ops must not even contain an Arrow Python stage
+    assert "ArrowEvalPython" not in executed_plan_str(token_stats(docs))
+    assert "ArrowEvalPython" not in executed_plan_str(dedup.minhash_signature(docs))
