@@ -121,7 +121,15 @@ def bench_cdc_replay(spark) -> dict:
 def main() -> None:
     from etl_spark.config import get_spark
 
-    spark = get_spark("etl_spark-bench", cores=CPUS, shuffle_partitions=2 * CPUS)
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        # the sandbox's virtio disk (~350 MB/s) bottlenecks shuffle
+        # spill at every parallelism level — keep shuffle dirs in RAM
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
+    spark = get_spark(
+        "etl_spark-bench", cores=CPUS, shuffle_partitions=2 * CPUS, extra_conf=extra
+    )
     try:
         queries = bench_queries(spark)
         cdc = bench_cdc_replay(spark)

@@ -222,16 +222,18 @@ class LakeTable:
             data = admission_filter(data, snap.wm(), self.spark)
 
         d = lww_latest(data, KEY_COLUMNS, "seq")
-        if canonicalizer is not None:
-            d = canonicalizer(d)
         stage_rel = os.path.join("tmp", f"stage-{batch_id:08d}-{uuid.uuid4().hex[:8]}")
         stage_dir = os.path.join(self.root, stage_rel)
         try:
-            return self._apply_inner(d0, d, batch_id, snap, strategy, t0, stage_dir)
+            return self._apply_inner(
+                d0, d, batch_id, snap, strategy, t0, stage_dir, canonicalizer
+            )
         finally:
             shutil.rmtree(stage_dir, ignore_errors=True)
 
-    def _apply_inner(self, d0, d, batch_id, snap, strategy, t0, stage_dir) -> dict:
+    def _apply_inner(
+        self, d0, d, batch_id, snap, strategy, t0, stage_dir, canonicalizer=None
+    ) -> dict:
         phases: dict[str, float] = {}
 
         def mark(name: str, since: float) -> float:
@@ -285,25 +287,31 @@ class LakeTable:
             )
             migrate_buckets.add(int(row["b"]))
 
-        # -- stage the canonical delta: the LWW + canonicalize pipeline
-        # materializes exactly once, in parallel; every consumer below
-        # (bucket histogram, merge, broadcast build) scans the stage ----
+        # -- stage the RAW LWW winners: the one key-shuffle materializes
+        # once, in parallel, WITHOUT the canonicalize pipeline on its
+        # critical path; the bucket histogram reads the raw stage, and
+        # canonicalize (normalize/NFC/sha256 — including the only Python
+        # hop) runs exactly once, applied to the staged scan feeding the
+        # merge write ---------------------------------------------------
         d.write.mode("overwrite").parquet(stage_dir)
-        d = self.spark.read.parquet(stage_dir)
+        staged = self.spark.read.parquet(stage_dir)
+        d = canonicalizer(staged) if canonicalizer is not None else staged
         tp = mark("stage_delta", tp)
 
         bucket = key_bucket(
             F.col("repo"), F.col("path"), new_snap.n_buckets, new_snap.hot_repos, new_snap.salt
         )
-        # bucket histogram doubles as the delta-key count AND the exact
-        # delta payload size (drives broadcast-vs-shuffle below)
+        # bucket histogram doubles as the delta-key count AND the delta
+        # payload size (drives broadcast-vs-shuffle below); it reads the
+        # RAW stage so the canonicalize pipeline is not re-triggered
+        # (raw content length ≈ canonical length for sizing purposes)
         size_expr = (
             F.sum(F.length(F.coalesce(F.col("content"), F.lit(""))) + 64)
-            if "content" in d.columns
+            if "content" in staged.columns
             else F.sum(F.lit(64))
         )
         bucket_rows = (
-            d.groupBy(bucket.alias("bucket"))
+            staged.groupBy(bucket.alias("bucket"))
             .agg(F.count("*").alias("cnt"), size_expr.alias("bytes"))
             .collect()
         )
@@ -353,7 +361,7 @@ class LakeTable:
             merged = delta_rows.withColumn("bucket", bexpr).repartitionByRange(npart, "bucket")
         elif strategy == "broadcast":
             resolved, news = self._merge_broadcast(
-                slice_df, d, delta_rows, all_cols, batch_id
+                slice_df, staged, delta_rows, all_cols, batch_id
             )
             merged = resolved.withColumn("bucket", bexpr).unionByName(
                 news.withColumn("bucket", bexpr).repartitionByRange(
@@ -518,31 +526,47 @@ class LakeTable:
     # file stats / metrics / maintenance
     # ------------------------------------------------------------------ #
     def _scan_written(self, rel_dir: str) -> list[FileEntry]:
-        out = []
+        """Manifest entries for freshly written data files.
+
+        Metadata-only: bucket and repo bounds come from parquet
+        row-group statistics (the writer range-partitions by bucket and
+        sorts by (repo, path), so column stats are tight).  The bucket
+        set is the [min..max] range — a safe overapproximation for
+        slice selection; no data pages are ever decoded.  Files are
+        processed concurrently (footer reads are IO-bound).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         abs_dir = os.path.join(self.root, rel_dir)
-        for name in sorted(os.listdir(abs_dir)):
-            if not name.endswith(".parquet"):
-                continue
+        names = sorted(n for n in os.listdir(abs_dir) if n.endswith(".parquet"))
+
+        def entry(name: str) -> FileEntry | None:
             fp = os.path.join(abs_dir, name)
-            pf = pq.ParquetFile(fp)
-            rows = pf.metadata.num_rows
-            if rows == 0:
+            md = pq.ParquetFile(fp).metadata
+            if md.num_rows == 0:
                 os.remove(fp)
-                continue
-            tbl = pq.read_table(fp, columns=["bucket", "repo"])
-            buckets = sorted(set(tbl.column("bucket").to_pylist()))
-            repos = tbl.column("repo").to_pylist()
-            out.append(
-                FileEntry(
-                    path=os.path.join(rel_dir, name),
-                    rows=rows,
-                    buckets=[int(b) for b in buckets],
-                    min_repo=min(repos),
-                    max_repo=max(repos),
-                    bytes=os.path.getsize(fp),
-                )
+                return None
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            bmin = bmax = None
+            rmin = rmax = None
+            for g in range(md.num_row_groups):
+                bs = md.row_group(g).column(idx["bucket"]).statistics
+                rs = md.row_group(g).column(idx["repo"]).statistics
+                bmin = bs.min if bmin is None else min(bmin, bs.min)
+                bmax = bs.max if bmax is None else max(bmax, bs.max)
+                rmin = rs.min if rmin is None else min(rmin, rs.min)
+                rmax = rs.max if rmax is None else max(rmax, rs.max)
+            return FileEntry(
+                path=os.path.join(rel_dir, name),
+                rows=md.num_rows,
+                buckets=list(range(int(bmin), int(bmax) + 1)),
+                min_repo=rmin,
+                max_repo=rmax,
+                bytes=os.path.getsize(fp),
             )
-        return out
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return [e for e in ex.map(entry, names) if e is not None]
 
     def _child(self, snap: Snapshot) -> Snapshot:
         child = Snapshot.from_json(snap.to_json())

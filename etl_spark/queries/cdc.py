@@ -125,7 +125,9 @@ def _replayed_table(spark: SparkSession, sf: str):
     table = LakeTable.create(spark, os.path.join(root, "table"), n_buckets=8, salt=4)
     for bid, p in enumerate(batches):
         batch = spark.read.parquet(p)
-        table.apply_batch(canonicalize(batch), bid, delivery="unordered")
+        table.apply_batch(
+            batch, bid, delivery="unordered", canonicalizer=canonicalize
+        )
     return table
 
 

@@ -546,6 +546,41 @@ def scalar_math_returnflag(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "join_range_error_context",
+    """
+    SELECT e.event_id AS error_event_id,
+           COUNT(c.event_id) AS clicks_before,
+           CAST(MAX(c.event_id) AS BIGINT) AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 60 SECOND AND c.ts < e.ts
+    GROUP BY e.event_id
+    """,
+)
+def join_range_error_context(spark: SparkSession, sf: str) -> DataFrame:
+    """Range / interval join: clicks by the same user in the 60s before
+    each error.  Equi key (user_id) + range predicate — Catalyst plans
+    an equi-join with the range as a post-join filter (no BNL)."""
+    ev = load(spark, sf, "events")
+    e = ev.filter(F.col("event_type") == "error").alias("e")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("c.user_id") == F.col("e.user_id"))
+        & (F.col("c.ts") >= F.col("e.ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("c.ts") < F.col("e.ts"))
+    )
+    return (
+        e.join(c, cond, "left")
+        .groupBy(F.col("e.event_id").alias("error_event_id"))
+        .agg(
+            F.count(F.col("c.event_id")).alias("clicks_before"),
+            F.max(F.col("c.event_id")).cast("long").alias("last_click_id"),
+        )
+    )
+
+
+@register(
     "topk_expensive_orders",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -314,6 +314,74 @@ def emb_label_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "udaf_geomean_event_value",
+    """
+    SELECT event_type,
+           floor(exp(SUM(ln(value)) / COUNT(*)) * 10000) / 10000 AS geo_mean,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_geomean_event_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom UDAF surface: grouped-agg pandas UDF (Arrow-vectorized).
+
+    Computed as exp(sum(ln x)/n) in BOTH engines with an explicit
+    sequential reduction shape; floor-rounded for cross-engine parity.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # NB: explicit functionType — `from __future__ import annotations`
+    # stringizes hints, defeating pandas_udf signature inference here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def ln_sum(v):
+        return float(np.log(v.to_numpy(dtype="float64")).sum())
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg —
+    # the row count is a pandas aggregate too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(ln_sum("value").alias("_lnsum"), n_rows("value").alias("n"))
+        .select(
+            "event_type",
+            text.floor_round(F.exp(F.col("_lnsum") / F.col("n")), 4).alias("geo_mean"),
+            "n",
+        )
+    )
+
+
+# applyInPandas grouped-map: numpy centroid per label.  Seedless and
+# deterministic, but float accumulation order inside numpy differs from
+# any SQL engine -> rows-only check by design.
+@register("emb_centroids_grouped")
+def emb_centroids_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["embedding"].to_numpy())
+        c = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "centroid_norm": [float(np.sqrt((c * c).sum()))],
+            }
+        )
+
+    return (
+        load(spark, sf, "embeddings")
+        .groupBy("label")
+        .applyInPandas(centroid, "label int, n_vectors long, centroid_norm double")
+    )
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (decoders stubbed -> rows-only checks)
 # --------------------------------------------------------------------------
