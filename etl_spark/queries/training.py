@@ -192,6 +192,44 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_neardups",
+    f"""
+    WITH RECURSIVE
+      t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+      d AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM t),
+      sig AS (SELECT doc_id,
+                {', '.join(
+                    f"list_aggregate(list_transform(sh, s -> md5(s || '#{i}')), 'min') AS mh{i}"
+                    for i in range(6)
+                )}
+              FROM d WHERE len(sh) > 0),
+      bands AS (
+        SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node)
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: MinHash-LSH candidate pairs -> connected
+    components (min-label propagation) -> one canonical keeper per
+    cluster.  The oracle expresses the same fixpoint as a recursive CTE."""
+    docs = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=6, band_size=2)
+    return dedup.duplicate_clusters(pairs, docs)
+
+
+@register(
     "dedup_simhash_docs",
     """
     WITH t AS (SELECT doc_id,

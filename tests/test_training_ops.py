@@ -92,6 +92,14 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
     assert exact, "threshold chosen to yield at least one pair"
 
 
+def test_duplicate_clusters_chain(spark):
+    """A chain a-b, b-c, plus isolated d: one 3-cluster + singleton."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
 # ---------------------------------------------------------------------- #
 # similarity search
 # ---------------------------------------------------------------------- #
