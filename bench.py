@@ -27,6 +27,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CDC_EVENTS = int(os.environ.get("ETL_SPARK_BENCH_EVENTS", "400000"))
 CDC_BATCHES = int(os.environ.get("ETL_SPARK_BENCH_BATCHES", "4"))
 CDC_WARMUP = int(os.environ.get("ETL_SPARK_BENCH_WARMUP", "20000"))
+# realistic payloads: source files are KBs, and the normalize/NFC/sha256
+# pipeline must do real per-row work for the number to mean anything
+CDC_CONTENT_BYTES = int(os.environ.get("ETL_SPARK_BENCH_CONTENT_BYTES", "1024"))
 
 # headline query subset: one per operator family, weighted toward the
 # scale-sensitive paths (joins, LSH self-joins, vector math)
@@ -81,7 +84,7 @@ def bench_cdc_replay(spark) -> dict:
         # number is SUSTAINED throughput (the 10^10-event steady state),
         # not cold-start latency
         if CDC_WARMUP > 0:
-            wev = events_df(spark, CDC_WARMUP, seed=7)
+            wev = events_df(spark, CDC_WARMUP, seed=7, content_bytes=CDC_CONTENT_BYTES)
             write_event_batches(wev, os.path.join(root, "wev"), 2, order="seq")
             wt = LakeTable.create(spark, os.path.join(root, "wtable"), n_buckets=8)
             run_tailer(
@@ -91,7 +94,8 @@ def bench_cdc_replay(spark) -> dict:
 
         ev_dir = os.path.join(root, "events")
         ev = events_df(
-            spark, CDC_EVENTS, seed=42, n_repos=50, paths_per_repo=200, hot_pct=20
+            spark, CDC_EVENTS, seed=42, n_repos=50, paths_per_repo=200,
+            hot_pct=20, content_bytes=CDC_CONTENT_BYTES,
         )
         write_event_batches(ev, ev_dir, CDC_BATCHES, order="seq")
         table = LakeTable.create(
@@ -110,8 +114,12 @@ def bench_cdc_replay(spark) -> dict:
         return {
             "events": CDC_EVENTS,
             "batches": CDC_BATCHES,
+            "content_bytes": CDC_CONTENT_BYTES,
             "replay_sec": round(wall, 3),
             "events_per_sec": round(CDC_EVENTS / wall, 1),
+            "content_mb_per_sec": round(
+                CDC_EVENTS * CDC_CONTENT_BYTES / wall / 1e6, 1
+            ),
             "final_rows": n_final,
         }
     finally:
