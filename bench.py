@@ -98,6 +98,15 @@ def bench_cdc_replay(spark) -> dict:
             hot_pct=20, content_bytes=CDC_CONTENT_BYTES,
         )
         write_event_batches(ev, ev_dir, CDC_BATCHES, order="seq")
+        # actual payload volume (deletes carry null content; padding is
+        # line-granular) — nominal content_bytes would overstate MB/s
+        from pyspark.sql import functions as F
+
+        actual_bytes = int(
+            spark.read.parquet(f"{ev_dir}/*.parquet")
+            .agg(F.sum(F.length("content")))
+            .first()[0]
+        )
         table = LakeTable.create(
             spark, os.path.join(root, "table"), n_buckets=32, salt=8
         )
@@ -117,9 +126,7 @@ def bench_cdc_replay(spark) -> dict:
             "content_bytes": CDC_CONTENT_BYTES,
             "replay_sec": round(wall, 3),
             "events_per_sec": round(CDC_EVENTS / wall, 1),
-            "content_mb_per_sec": round(
-                CDC_EVENTS * CDC_CONTENT_BYTES / wall / 1e6, 1
-            ),
+            "content_mb_per_sec": round(actual_bytes / wall / 1e6, 1),
             "final_rows": n_final,
         }
     finally:
