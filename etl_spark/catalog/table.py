@@ -264,8 +264,8 @@ class LakeTable:
             # all-duplicate batch: still commit the fence so replay skips it
             new = self._child(snap)
             new.last_batch_id = batch_id
+            self._write_metrics(batch_id, [], t0)  # before commit: see below
             self.log.commit(new, expect_parent=snap.version)
-            self._write_metrics(batch_id, [], t0)
             return {"batch_id": batch_id, "events": 0, "skipped": False}
 
         # -- hot-repo accounting + promotion (before bucket assignment) ---
@@ -278,14 +278,16 @@ class LakeTable:
         promoted = self._update_hot(new_snap, repo_counts, n_events)
 
         migrate_buckets: set[int] = set()
-        for repo in promoted:
-            # the repo's rows currently live in its old cold bucket
-            row = (
-                self.spark.range(1)
-                .select(F.pmod(F.xxhash64(F.lit(repo)), F.lit(snap.n_buckets)).alias("b"))
-                .first()
+        if promoted:
+            # promoted repos' rows currently live in their old COLD
+            # buckets (resolved against the PRE-promotion snapshot);
+            # one batched job for all of them
+            rows = (
+                self.spark.createDataFrame([(r,) for r in promoted], "repo string")
+                .select(F.pmod(F.xxhash64("repo"), F.lit(snap.n_buckets)).alias("b"))
+                .collect()
             )
-            migrate_buckets.add(int(row["b"]))
+            migrate_buckets = {int(r["b"]) for r in rows}
 
         # -- stage the RAW LWW winners: the one key-shuffle materializes
         # once, in parallel, WITHOUT the canonicalize pipeline on its
@@ -350,37 +352,36 @@ class LakeTable:
             )
 
         delta_rows = self._to_table_rows(d, batch_id, all_cols)
-        bexpr = key_bucket(
-            F.col("repo"), F.col("path"), new_snap.n_buckets, new_snap.hot_repos, new_snap.salt
-        )
-        # bucket-cluster anything that went through a shuffle anyway, so
-        # files stay ~single-bucket (pruning granularity); survivors from
-        # the broadcast path stay task-aligned — NO shuffle of the slice
+        bexpr = bucket  # same key->bucket resolution as the histogram above
+        # bucket-cluster EVERY output file: hash-repartition on bucket
+        # (no range-sampler job), then write partitionBy("bucket") so a
+        # data file belongs to EXACTLY one bucket by construction — the
+        # manifest needs no stats guessing and CoW pruning stays exact.
+        # This includes the broadcast-path survivors: skipping their
+        # shuffle was measured cheap, but it let file scans mix buckets
+        # across source files, progressively widening every file's
+        # claimed bucket span.
         npart = max(1, min(len(touched), 2048))
         if slice_df is None:
-            merged = delta_rows.withColumn("bucket", bexpr).repartitionByRange(npart, "bucket")
+            merged = delta_rows
         elif strategy == "broadcast":
             resolved, news = self._merge_broadcast(
                 slice_df, staged, delta_rows, all_cols, batch_id
             )
-            merged = resolved.withColumn("bucket", bexpr).unionByName(
-                news.withColumn("bucket", bexpr).repartitionByRange(
-                    max(1, min(npart, 64)), "bucket"
-                )
-            )
+            merged = resolved.unionByName(news)
         else:
-            merged = (
-                self._merge_shuffle(slice_df, delta_rows, all_cols)
-                .withColumn("bucket", bexpr)
-                .repartitionByRange(npart, "bucket")
-            )
+            merged = self._merge_shuffle(slice_df, delta_rows, all_cols)
 
-        merged = merged.sortWithinPartitions("repo", "path")
+        merged = (
+            merged.withColumn("bucket", bexpr)
+            .repartition(npart, "bucket")
+            .sortWithinPartitions("repo", "path")
+        )
 
         # -- write new data files -----------------------------------------
         rel_dir = os.path.join("data", f"b{batch_id:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel_dir)
-        merged.write.mode("overwrite").parquet(out_dir)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
         tp = mark("merge_write", tp)
         new_entries = self._scan_written(rel_dir)
         tp = mark("scan_written", tp)
@@ -394,8 +395,13 @@ class LakeTable:
         new_snap.properties["total_events"] = str(
             int(snap.properties.get("total_events", "0")) + n_events
         )
-        self.log.commit(new_snap, expect_parent=snap.version)
+        # metrics BEFORE the snapshot commit: the file is named by batch
+        # id (idempotent overwrite on replay), so a crash between the
+        # two leaves either a harmless orphan metrics file (batch will
+        # re-merge under the same id) or nothing — never a committed
+        # batch without lineage
         latency_ms = self._write_metrics(batch_id, part_rows, t0)
+        self.log.commit(new_snap, expect_parent=snap.version)
         mark("commit", tp)
 
         return {
@@ -528,45 +534,48 @@ class LakeTable:
     def _scan_written(self, rel_dir: str) -> list[FileEntry]:
         """Manifest entries for freshly written data files.
 
-        Metadata-only: bucket and repo bounds come from parquet
-        row-group statistics (the writer range-partitions by bucket and
-        sorts by (repo, path), so column stats are tight).  The bucket
-        set is the [min..max] range — a safe overapproximation for
-        slice selection; no data pages are ever decoded.  Files are
+        Metadata-only.  Data is written with partitionBy("bucket"), so
+        each file's bucket is EXACT from its `bucket=N/` directory —
+        no stats guessing.  Repo min/max come from parquet row-group
+        statistics; no data pages are ever decoded.  Files are
         processed concurrently (footer reads are IO-bound).
         """
         from concurrent.futures import ThreadPoolExecutor
 
         abs_dir = os.path.join(self.root, rel_dir)
-        names = sorted(n for n in os.listdir(abs_dir) if n.endswith(".parquet"))
+        work: list[tuple[int, str]] = []
+        for sub in sorted(os.listdir(abs_dir)):
+            if not sub.startswith("bucket="):
+                continue
+            b = int(sub.split("=", 1)[1])
+            for name in sorted(os.listdir(os.path.join(abs_dir, sub))):
+                if name.endswith(".parquet"):
+                    work.append((b, os.path.join(sub, name)))
 
-        def entry(name: str) -> FileEntry | None:
-            fp = os.path.join(abs_dir, name)
+        def entry(item: tuple[int, str]) -> FileEntry | None:
+            b, rel = item
+            fp = os.path.join(abs_dir, rel)
             md = pq.ParquetFile(fp).metadata
             if md.num_rows == 0:
                 os.remove(fp)
                 return None
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            bmin = bmax = None
             rmin = rmax = None
             for g in range(md.num_row_groups):
-                bs = md.row_group(g).column(idx["bucket"]).statistics
                 rs = md.row_group(g).column(idx["repo"]).statistics
-                bmin = bs.min if bmin is None else min(bmin, bs.min)
-                bmax = bs.max if bmax is None else max(bmax, bs.max)
                 rmin = rs.min if rmin is None else min(rmin, rs.min)
                 rmax = rs.max if rmax is None else max(rmax, rs.max)
             return FileEntry(
-                path=os.path.join(rel_dir, name),
+                path=os.path.join(rel_dir, rel),
                 rows=md.num_rows,
-                buckets=list(range(int(bmin), int(bmax) + 1)),
+                buckets=[b],
                 min_repo=rmin,
                 max_repo=rmax,
                 bytes=os.path.getsize(fp),
             )
 
         with ThreadPoolExecutor(max_workers=16) as ex:
-            return [e for e in ex.map(entry, names) if e is not None]
+            return [e for e in ex.map(entry, work) if e is not None]
 
     def _child(self, snap: Snapshot) -> Snapshot:
         child = Snapshot.from_json(snap.to_json())
@@ -645,6 +654,7 @@ class LakeTable:
             df.repartition(n_out, "bucket")
             .sortWithinPartitions("repo", "path")
             .write.mode("overwrite")
+            .partitionBy("bucket")
             .parquet(os.path.join(self.root, rel_dir))
         )
         new_entries = self._scan_written(rel_dir)

@@ -163,9 +163,13 @@ def write_event_batches(
     if duplicate_pct > 0:
         # a re-delivered event always arrives AFTER (or with) its original
         # delivery — the binlog prefix-replay contract; an earlier arrival
-        # would be reordering, not duplication
+        # would be reordering, not duplication.  orig_b must match the
+        # ACTUAL assignment above (hash for shuffled, range for seq).
         dups = df.filter(F.pmod(_h(F.col("seq"), seed, 98), F.lit(100)) < F.lit(duplicate_pct))
-        orig_b = F.floor((F.col("seq") - F.lit(lo)) / F.lit(span))
+        if order == "shuffled":
+            orig_b = F.pmod(_h(F.col("seq"), seed, 99), F.lit(n_batches))
+        else:
+            orig_b = F.floor((F.col("seq") - F.lit(lo)) / F.lit(span))
         dup_assign = F.least(
             F.lit(n_batches - 1), orig_b + 1 + F.pmod(_h(F.col("seq"), seed, 97), F.lit(2))
         )

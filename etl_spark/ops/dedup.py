@@ -157,14 +157,13 @@ def minhash_lsh_pairs(
         ]
     )
     # drop docs with no shingles (null signature -> band key '' would
-    # otherwise cross-match all of them).  Persist the (tiny) band table:
-    # the self-join would otherwise recompute the full shingle+md5
-    # signature pipeline for BOTH sides — at corpus scale this is the
-    # "materialize the signature stage" idiom.
-    exploded = (
-        sigs.filter(F.col("mh0").isNotNull())
-        .select(F.col(id_col).alias("_id"), F.posexplode(bands).alias("band", "band_key"))
-        .persist()
+    # otherwise cross-match all of them).  The self-join recomputes the
+    # signature pipeline for both sides; that pipeline is one cheap
+    # explode+hash-agg, so no persist — a pinned cache would outlive the
+    # call and squeeze executor storage in long sessions.  At corpus
+    # scale, materialize the signature TABLE explicitly instead.
+    exploded = sigs.filter(F.col("mh0").isNotNull()).select(
+        F.col(id_col).alias("_id"), F.posexplode(bands).alias("band", "band_key")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (

@@ -112,8 +112,10 @@ def _replayed_table(spark: SparkSession, sf: str):
 
     key = f"{id(spark.sparkContext)}:{sf}"
     root = _REPLAY_CACHE.get(key)
-    if root and os.path.exists(os.path.join(root, "table", "_snapshots")):
+    if root and os.path.exists(os.path.join(root, "table", "meta")):
         return LakeTable.load(spark, os.path.join(root, "table"))
+    if root:  # stale/partial build — don't leak it
+        shutil.rmtree(root, ignore_errors=True)
 
     root = tempfile.mkdtemp(prefix="etl_spark_cdcq_")
     _REPLAY_CACHE[key] = root

@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
             table = LakeTable.create(
                 spark, args.table_dir, n_buckets=args.n_buckets, salt=args.salt
             )
-        _, sink = run_tailer(
+        q, sink = run_tailer(
             table,
             args.events_dir,
             args.checkpoint_dir,
@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
             delivery=args.delivery,
             max_files_per_trigger=args.max_files_per_trigger,
         )
+        if args.mode == "tail":
+            # continuous ingestion: block until the query is stopped
+            # externally (run_tailer only awaits bounded replays)
+            q.awaitTermination()
         applied = [s for s in sink.applied if not s.get("skipped")]
         snap = table.snapshot()
         print(

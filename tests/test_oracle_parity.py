@@ -93,8 +93,6 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
-    if name == "mm_video_frame_sample" or name.startswith("cdc_replay"):
-        pass  # exercised below / via entry
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
