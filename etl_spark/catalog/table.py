@@ -2,9 +2,11 @@
 
 Storage model
 -------------
-- Immutable parquet data files under ``data/b<batch>/``; every file's
-  exact bucket set + repo min/max recorded in the snapshot manifest
-  (file-level pruning without any Catalyst DSv1 cooperation).
+- Immutable parquet data files under ``data/b<batch>/bucket=N/`` —
+  written ``partitionBy("bucket")`` so every file belongs to exactly
+  one bucket by construction; the snapshot manifest records each
+  file's bucket + repo min/max (file-level pruning without any
+  Catalyst DSv1 cooperation).
 - Keys are hash-bucketed: cold repo -> pmod(xxhash64(repo), n_buckets)
   (so reads filtered by repo prune to one bucket); hot repos are salted
   across a dedicated range of ``salt`` buckets (skew defense).  Hot-set
