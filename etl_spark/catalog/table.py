@@ -620,6 +620,46 @@ class LakeTable:
         mdir = os.path.join(self.root, "metrics")
         return self.spark.read.parquet(mdir)
 
+    def stats(self) -> dict:
+        """Manifest-derived table statistics — makes copy-on-write
+        amplification and bucket balance measurable (no data scan).
+
+        write_amplification = total rows ever written to data files
+        (live rows across ALL retained versions' new files) divided by
+        total events applied: the CoW cost knob that bucket granularity
+        controls."""
+        snap = self.snapshot()
+        by_bucket: dict[int, int] = {}
+        for e in snap.files:
+            for b in e.buckets:
+                by_bucket[b] = by_bucket.get(b, 0) + e.rows
+        rows_live = sum(e.rows for e in snap.files)
+        seen: set[str] = set()
+        rows_written = 0
+        for v in self.history():
+            for e in self.snapshot(v).files:
+                if e.path not in seen:
+                    seen.add(e.path)
+                    rows_written += e.rows
+        total_events = int(snap.properties.get("total_events", "0")) or 1
+        buckets = sorted(by_bucket.values(), reverse=True)
+        return {
+            "version": snap.version,
+            "schema_version": snap.schema_version,
+            "files": len(snap.files),
+            "rows_live": rows_live,
+            "bytes_live": sum(e.bytes for e in snap.files),
+            "total_events_applied": total_events,
+            "rows_written_all_versions": rows_written,
+            "write_amplification": round(rows_written / total_events, 2),
+            "hot_repos": list(snap.hot_repos),
+            "n_buckets_used": len(by_bucket),
+            "bucket_skew": round(buckets[0] / max(1, buckets[-1]), 2)
+            if buckets
+            else None,
+            "watermarks": snap.wm(),
+        }
+
     def vacuum(self, retain_versions: int = 2) -> list[str]:
         """Expire old snapshots and delete unreferenced (orphan) data files."""
         versions = self.history()

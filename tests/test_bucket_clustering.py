@@ -27,3 +27,16 @@ def test_file_bucket_spans_stay_tight(spark, tmp_path):
         if set(t._bucket_of_repo(snap, "repo-3")) & set(e.buckets)
     ]
     assert 0 < len(pruned) < len(snap.files)
+
+
+def test_table_stats_diagnostics(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    for bid in range(2):
+        ev = events_df(spark, 2000, seed=9, start_seq=bid * 2000)
+        t.apply_batch(ev, bid, canonicalizer=canonicalize)
+    s = t.stats()
+    assert s["rows_live"] > 0 and s["files"] > 0
+    assert s["total_events_applied"] == 4000
+    # CoW rewrote batch-0 keys during batch 1 -> amplification > 1
+    assert s["write_amplification"] >= 1.0
+    assert s["n_buckets_used"] <= 8 and s["watermarks"]
