@@ -425,6 +425,55 @@ def setop_union_kinds(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "setop_except_all_multiset",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_all_multiset(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL: multiset difference (per-occurrence, not distinct)."""
+    o = load(spark, sf, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.exceptAll(fin)
+
+
+@register(
+    "scalar_null_safe_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap
+      FROM orders)
+    SELECT o_custkey,
+           CAST(SUM(CASE WHEN gap IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_orders,
+           CAST(SUM(CASE WHEN gap IS NOT DISTINCT FROM 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS same_day_repeats
+    FROM g GROUP BY o_custkey
+    """,
+)
+def scalar_null_safe_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) over a column
+    that is genuinely null for each customer's first order."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    g = load(spark, sf, "orders").select("o_custkey", gap.alias("gap"))
+    return g.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("gap").eqNullSafe(F.lit(None)), 1).otherwise(0))
+        .cast("long")
+        .alias("first_orders"),
+        F.sum(F.when(F.col("gap").eqNullSafe(F.lit(0)), 1).otherwise(0))
+        .cast("long")
+        .alias("same_day_repeats"),
+    )
+
+
+@register(
     "scalar_part_catalog",
     """
     SELECT p_partkey,
