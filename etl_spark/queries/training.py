@@ -432,6 +432,20 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.extract_image_features(media)
 
 
+@register("docs_secret_scan")
+def docs_secret_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Credential scan over the corpus (iterator pandas UDF — compiled
+    pattern set amortized per worker).  Python `re` semantics have no
+    exact SQL mirror -> rows-only check."""
+    from etl_spark.ops.secrets import scan_secrets
+
+    return (
+        scan_secrets(load(spark, sf, "documents"))
+        .groupBy("n_secret_kinds")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 @register("mm_video_frame_sample")
 def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
