@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from etl_spark.catalog.snapshot import FileEntry, Snapshot, SnapshotLog
 from etl_spark.functions.hashing import key_bucket
+from etl_spark.functions.xxhash import cold_bucket
 from etl_spark.operators.lww import lww_latest
 from etl_spark.operators.watermark import (
     admission_filter,
@@ -76,8 +77,10 @@ class LakeTable:
         salt: int = 8,
         hot_repos: list[str] | None = None,
         broadcast_threshold_rows: int = 2_000_000,
+        broadcast_threshold_bytes: int = 64 << 20,
         hot_frac: float = 0.30,
         hot_min_rows: int = 10_000,
+        repo_stats_topk: int = 200,
     ) -> "LakeTable":
         t = cls(spark, root)
         if t.log.exists():
@@ -92,8 +95,10 @@ class LakeTable:
             hot_repos=list(hot_repos or []),
             properties={
                 "broadcast_threshold_rows": str(broadcast_threshold_rows),
+                "broadcast_threshold_bytes": str(broadcast_threshold_bytes),
                 "hot_frac": str(hot_frac),
                 "hot_min_rows": str(hot_min_rows),
+                "repo_stats_topk": str(repo_stats_topk),
                 "total_events": "0",
             },
         )
@@ -156,17 +161,16 @@ class LakeTable:
         return df
 
     def _bucket_of_repo(self, snap: Snapshot, repo: str) -> list[int]:
-        """Buckets a repo's keys may live in under the snapshot's hot set."""
+        """Buckets a repo's keys may live in under the snapshot's hot set.
+
+        Cold-repo hashing runs entirely driver-side (memoized pure-Python
+        XXH64, verified bit-identical to Spark's ``xxhash64``) — a pruned
+        ``read(repo=...)`` launches ZERO extra Spark jobs."""
         if repo in snap.hot_repos:
             i = snap.hot_repos.index(repo)
             lo = snap.n_buckets + i * snap.salt
             return list(range(lo, lo + snap.salt))
-        row = (
-            self.spark.range(1)
-            .select(F.pmod(F.xxhash64(F.lit(repo)), F.lit(snap.n_buckets)).alias("b"))
-            .first()
-        )
-        return [int(row["b"])]
+        return [cold_bucket(repo, snap.n_buckets)]
 
     def _bucket_expr(self, snap: Snapshot):
         return key_bucket(
@@ -243,11 +247,20 @@ class LakeTable:
             phases[name] = round(now - since, 3)
             return now
 
-        # -- lineage + watermark + hot-repo stats in ONE aggregation job
+        # -- lineage + watermark + hot-repo stats in ONE aggregation pass
         # (grouping sets: by part_id for the watermark vector / metrics,
         # by repo for skew accounting).  Narrow projection: parquet
-        # column pruning means the content column is never read here. ---
-        stats_rows = (
+        # column pruning means the content column is never read here.
+        # The aggregate is persisted (narrow rows — columnar cache is
+        # only hostile to KB-wide contents) so the per-repo side can be
+        # capped EXECUTOR-side: the driver collects the small part_id
+        # vector plus at most ``repo_stats_topk`` heavy-hitter repos
+        # (TakeOrderedAndProject), never one row per distinct repo —
+        # a 10^7-event long-tail batch would otherwise OOM the driver. ---
+        from pyspark import StorageLevel
+
+        topk = int(snap.properties.get("repo_stats_topk", "200"))
+        stats_df = (
             d0.select("part_id", "seq", "repo")
             .groupingSets([["part_id"], ["repo"]], "part_id", "repo")
             .agg(
@@ -255,9 +268,20 @@ class LakeTable:
                 F.max("seq").alias("end_seq"),
                 F.count("*").alias("rows_applied"),
             )
-            .collect()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        part_rows = [r for r in stats_rows if r["part_id"] is not None]
+        try:
+            part_rows = stats_df.filter(F.col("part_id").isNotNull()).collect()
+            repo_rows = (
+                stats_df.filter(
+                    F.col("part_id").isNull() & F.col("repo").isNotNull()
+                )
+                .orderBy(F.desc("rows_applied"), F.asc("repo"))
+                .limit(topk)
+                .collect()
+            )
+        finally:
+            stats_df.unpersist()
         batch_wm = {int(r["part_id"]): int(r["end_seq"]) for r in part_rows}
         n_events = sum(int(r["rows_applied"]) for r in part_rows)
         tp = mark("stats_job", t0)
@@ -271,25 +295,16 @@ class LakeTable:
             return {"batch_id": batch_id, "events": 0, "skipped": False}
 
         # -- hot-repo accounting + promotion (before bucket assignment) ---
-        repo_counts = {
-            r["repo"]: int(r["rows_applied"])
-            for r in stats_rows
-            if r["repo"] is not None
-        }
+        repo_counts = {r["repo"]: int(r["rows_applied"]) for r in repo_rows}
         new_snap = self._child(snap)
         promoted = self._update_hot(new_snap, repo_counts, n_events)
 
-        migrate_buckets: set[int] = set()
-        if promoted:
-            # promoted repos' rows currently live in their old COLD
-            # buckets (resolved against the PRE-promotion snapshot);
-            # one batched job for all of them
-            rows = (
-                self.spark.createDataFrame([(r,) for r in promoted], "repo string")
-                .select(F.pmod(F.xxhash64("repo"), F.lit(snap.n_buckets)).alias("b"))
-                .collect()
-            )
-            migrate_buckets = {int(r["b"]) for r in rows}
+        # promoted repos' rows currently live in their old COLD buckets
+        # (resolved against the PRE-promotion snapshot) — driver-side hash,
+        # no Spark job
+        migrate_buckets: set[int] = {
+            cold_bucket(r, snap.n_buckets) for r in promoted
+        }
 
         # -- stage the RAW LWW winners: the one key-shuffle materializes
         # once, in parallel, WITHOUT the canonicalize pipeline on its
@@ -309,11 +324,19 @@ class LakeTable:
         # payload size (drives broadcast-vs-shuffle below); it reads the
         # RAW stage so the canonicalize pipeline is not re-triggered
         # (raw content length ≈ canonical length for sizing purposes)
-        size_expr = (
-            F.sum(F.length(F.coalesce(F.col("content"), F.lit(""))) + 64)
-            if "content" in staged.columns
-            else F.sum(F.lit(64))
+        # payload estimate counts EVERY string column (not just content):
+        # wide promoted `extra` columns would otherwise undercount the
+        # broadcast decision
+        str_cols = [
+            f.name
+            for f in staged.schema.fields
+            if f.dataType.simpleString() == "string"
+        ]
+        per_row = sum(
+            (F.length(F.coalesce(F.col(c), F.lit(""))) for c in str_cols),
+            F.lit(64).cast("long"),
         )
+        size_expr = F.sum(per_row)
         bucket_rows = (
             staged.groupBy(bucket.alias("bucket"))
             .agg(F.count("*").alias("cnt"), size_expr.alias("bytes"))
@@ -411,6 +434,7 @@ class LakeTable:
             "skipped": False,
             "phases": phases,
             "events": n_events,
+            "repo_stat_rows": len(repo_rows),
             "delta_keys": d_count,
             "strategy": strategy,
             "touched_buckets": sorted(touched),

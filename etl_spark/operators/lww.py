@@ -36,6 +36,8 @@ def lww_latest(
     """Keep the winning (highest-``order_col``) row per key."""
     if strategy == "maxby":
         return lww_latest_maxby(df, keys, order_col)
+    if strategy == "firstvalue":
+        return lww_latest_firstvalue(df, keys, order_col)
     return lww_latest_window(df, keys, order_col)
 
 
@@ -53,6 +55,30 @@ def lww_latest_window(df: DataFrame, keys: list[str], order_col: str = "seq") ->
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def lww_latest_firstvalue(
+    df: DataFrame, keys: list[str], order_col: str = "seq"
+) -> DataFrame:
+    """first_value form of LWW (SURVEY §2.5): every column replaced by the
+    first value over the key window ordered seq DESC (unbounded frame),
+    then one dedup per key.
+
+    Strictly more work than the row_number form in Spark (the dedup adds
+    a second shuffle), so it is NOT used on the hot path — it exists for
+    engines/plans where a filterable rank is costlier than first_value,
+    and as the equivalence witness for the window form.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*_order(df, order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    others = [c for c in df.columns if c not in keys]
+    out = df.select(
+        *keys, *[F.first(c, ignorenulls=False).over(w).alias(c) for c in others]
+    )
+    return out.dropDuplicates(keys)
 
 
 def lww_latest_maxby(df: DataFrame, keys: list[str], order_col: str = "seq") -> DataFrame:

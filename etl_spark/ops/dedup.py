@@ -157,11 +157,13 @@ def minhash_lsh_pairs(
         ]
     )
     # drop docs with no shingles (null signature -> band key '' would
-    # otherwise cross-match all of them).  The self-join recomputes the
-    # signature pipeline for both sides; that pipeline is one cheap
-    # explode+hash-agg, so no persist — a pinned cache would outlive the
-    # call and squeeze executor storage in long sessions.  At corpus
-    # scale, materialize the signature TABLE explicitly instead.
+    # otherwise cross-match all of them).  The signature frame is
+    # materialized ONCE (localCheckpoint: narrow id+hex columns, a few
+    # dozen bytes per doc) because the band self-join scans it from both
+    # sides — without it each side re-runs the explode+hash-agg pipeline.
+    # Lazy checkpoint: the first job computes it, both join branches then
+    # read the same persisted blocks.
+    sigs = sigs.localCheckpoint(eager=False)
     exploded = sigs.filter(F.col("mh0").isNotNull()).select(
         F.col(id_col).alias("_id"), F.posexplode(bands).alias("band", "band_key")
     )
@@ -249,19 +251,33 @@ def duplicate_clusters(
     in O(component diameter) rounds.  Each round is one distributed
     join+aggregate; the driver only checks the scalar change count.
     Deterministic — same result on any engine, any partitioning.
+
+    Scale: the label table is materialized (localCheckpoint) every round,
+    so round *i* starts from a FLAT plan — lineage depth and recompute
+    cost are O(1) per round, not O(i).  The changed-row count is folded
+    into the same pass (a marker column aggregated over the checkpointed
+    blocks), so each round runs exactly one distributed job plus a
+    metadata-cheap sum.  On a multi-executor cluster with unreliable
+    storage, swap localCheckpoint for a 2-column parquet stage — the
+    round structure is identical.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)  # reused every round: derive LSH once
     )
-    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # new label = least(old, neighbor min); changed iff nmin < old —
+        # computed inline so no second join against the old labels
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -269,15 +285,14 @@ def duplicate_clusters(
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("_chg"),
             )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select(

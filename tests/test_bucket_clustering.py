@@ -17,9 +17,9 @@ def test_file_bucket_spans_stay_tight(spark, tmp_path):
     snap = t.snapshot()
     assert snap.files
     worst = max(len(e.buckets) for e in snap.files)
-    # hash-partitioned on bucket with npart == touched buckets: a file
-    # may hold a couple of buckets, never a broad smear
-    assert worst <= 4, f"file claims {worst} buckets — clustering regressed"
+    # partitionBy("bucket") writes guarantee EXACTLY one bucket per file;
+    # anything more means the exact-layout invariant regressed
+    assert worst == 1, f"file claims {worst} buckets — clustering regressed"
     # and pruning still resolves single repos to a strict file subset
     pruned = [
         e

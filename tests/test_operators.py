@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_spark.functions.hashing import key_bucket
-from etl_spark.operators.lww import lww_latest, lww_latest_window
+from etl_spark.operators.lww import (
+    lww_latest,
+    lww_latest_firstvalue,
+    lww_latest_window,
+)
 from etl_spark.operators.watermark import (
     admission_filter,
     batch_high_watermarks,
@@ -38,6 +42,19 @@ def test_lww_window_form_agrees(spark):
     a = lww_latest(df, ["repo", "path"]).select(*cols).orderBy("repo", "path").collect()
     b = lww_latest_window(df, ["repo", "path"]).select(*cols).orderBy("repo", "path").collect()
     assert a == b
+
+
+def test_lww_firstvalue_form_agrees(spark):
+    df = _events(spark)
+    cols = df.columns
+    a = lww_latest(df, ["repo", "path"]).select(*cols).orderBy("repo", "path").collect()
+    c = (
+        lww_latest_firstvalue(df, ["repo", "path"])
+        .select(*cols)
+        .orderBy("repo", "path")
+        .collect()
+    )
+    assert a == c
 
 
 def test_watermark_batch_and_merge(spark):
