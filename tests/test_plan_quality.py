@@ -73,3 +73,18 @@ def test_anti_semi_joins_stay_joins(spark):
 )
 def test_no_per_row_python_in_query_surface(spark, name):
     assert "BatchEvalPython" not in plan_of(spark, name)
+
+
+def test_bucketed_embedding_neardup_is_equi_join(spark):
+    # the oracle-checked SCALE path must bucket-join, never all-pairs
+    plan = plan_of(spark, "dedup_embedding_neardup_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS a join — on the sign-LSH bucket key
+
+
+def test_simhash64_banding_is_equi_join(spark):
+    plan = plan_of(spark, "dedup_simhash64_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # band equi-join on (band, word value)
