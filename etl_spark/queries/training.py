@@ -559,6 +559,13 @@ def docs_secret_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("mm_audio_features")
+def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text", kind="audio")
+    return multimodal.extract_audio_features(media)
+
+
 @register("mm_video_frame_sample")
 def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")

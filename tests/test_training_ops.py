@@ -252,6 +252,18 @@ def test_media_features_deterministic(spark, docs):
     assert feats[1]["width"] == again[1]["width"]
 
 
+def test_audio_features_deterministic_and_consistent(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text", kind="audio")
+    a = multimodal.extract_audio_features(media).collect()
+    b = multimodal.extract_audio_features(media).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+        assert r["n_channels"] in (1, 2)
+        # fake duration must stay consistent with a PCM16 payload
+        assert r["duration_ms"] >= 1
+
+
 def test_resize_stub_raises_without_pil(spark, docs):
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
