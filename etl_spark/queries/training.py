@@ -559,6 +559,31 @@ def docs_secret_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _redact_oracle() -> str:
+    from etl_spark.ops.secrets import SECRET_PATTERNS
+
+    any_hit = " OR ".join(
+        f"regexp_matches(text, '{p}')" for _n, p in SECRET_PATTERNS
+    )
+    return f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE NOT ({any_hit})
+    """
+
+
+@register("docs_redact_clean", _redact_oracle())
+def docs_redact_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-hygiene output: the documents table minus anything carrying
+    a credential (broadcast anti-join against the small flagged set).
+    Value-hash compares FULL text — the strongest per-row check of the
+    scanner + anti-join path."""
+    from etl_spark.ops.secrets import redact_flagged
+
+    return redact_flagged(load(spark, sf, "documents")).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 @register("mm_audio_features")
 def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
