@@ -42,7 +42,10 @@ HEADLINE = [
     "docs_quality",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
+    "dedup_simhash64_pairs",
+    "dedup_embedding_neardup_bucketed",
     "ann_cosine_topk",
+    "ann_ivf_kmeans_topk",
     "emb_label_stats",
 ]
 

@@ -25,12 +25,22 @@ from etl_spark.schemas import TABLE_COLUMNS
 RESERVED = set(TABLE_COLUMNS) | {"seq", "part_id", "op", "ts", "extra", "bucket"}
 
 
-def observed_extra_keys(batch: DataFrame) -> list[str]:
-    """Distinct keys present in the batch's ``extra`` maps (small agg)."""
+def observed_extra_keys(batch: DataFrame, max_keys: int = 64) -> list[str]:
+    """Distinct keys present in the batch's ``extra`` maps (small agg).
+
+    Capped at ``max_keys`` (executor-side TakeOrdered, deterministic
+    first-alphabetical): schema keys are few by design, and a poisoned
+    batch carrying millions of distinct map keys must not flood the
+    driver or the table schema — surplus keys simply stay in ``extra``
+    until a later batch promotes them."""
     if "extra" not in batch.columns:
         return []
     rows = (
-        batch.select(F.explode(F.map_keys("extra")).alias("k")).distinct().collect()
+        batch.select(F.explode(F.map_keys("extra")).alias("k"))
+        .distinct()
+        .orderBy("k")
+        .limit(max_keys)
+        .collect()
     )
     return sorted(r["k"] for r in rows if r["k"] not in RESERVED)
 

@@ -112,6 +112,63 @@ def docs_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.fingerprint(load(spark, sf, "documents"))
 
 
+@register(
+    "docs_split_assign",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15))::BIGINT
+                % 100 AS BIGINT) AS pct_bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15))::BIGINT
+                     % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15))::BIGINT
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def docs_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-free
+    id hash — the standard leak-proof split (same doc always lands in the
+    same split on every engine / every run; no shuffle at all)."""
+    h = text.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#split")))
+    pct = (h % 100).cast("long")
+    split = (
+        F.when(pct < 80, F.lit("train")).when(pct < 90, F.lit("val")).otherwise(
+            F.lit("test")
+        )
+    )
+    return load(spark, sf, "documents").select(
+        "doc_id", pct.alias("pct_bucket"), split.alias("split")
+    )
+
+
+@register(
+    "docs_corpus_summary",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+         s AS (SELECT lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM s GROUP BY ROLLUP(lang)
+    """,
+)
+def docs_corpus_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card corpus statistics: per-language token accounting with
+    a grand-total rollup row (exact integer sums — no float parity risk)."""
+    toks = text.tokens(F.col("text"))
+    return (
+        load(spark, sf, "documents")
+        .select("lang", F.size(toks).cast("long").alias("n_tokens"))
+        .rollup("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # deduplication
 # --------------------------------------------------------------------------

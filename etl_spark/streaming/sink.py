@@ -55,3 +55,5 @@ class CdcSink:
             batch_df, batch_id, delivery=self.delivery, canonicalizer=canon
         )
         self.applied.append(stats)
+        if len(self.applied) > 10_000:  # tail mode runs forever; diag only
+            del self.applied[: -5_000]
