@@ -47,11 +47,16 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
     "emb_label_stats",
+    # the only iterator-UDF path (secret scan feeding a broadcast
+    # anti-join) — benchmarked per VERDICT r2 item 7
+    "docs_redact_clean",
 ]
 
 
 def bench_queries(spark) -> dict[str, float]:
-    from etl_spark.queries import QUERIES
+    # LOCAL_QUERIES: the headline set includes local-only baselines
+    # (e.g. join_region_revenue) kept comparable across rounds
+    from etl_spark.queries import LOCAL_QUERIES as QUERIES
 
     out: dict[str, float] = {}
     for name in HEADLINE:

@@ -37,12 +37,15 @@ def observed_extra_keys(batch: DataFrame, max_keys: int = 64) -> list[str]:
         return []
     rows = (
         batch.select(F.explode(F.map_keys("extra")).alias("k"))
+        # reserved names are filtered BEFORE the cap so they can never
+        # consume promotion slots in a key-flooded batch
+        .filter(~F.col("k").isin(sorted(RESERVED)))
         .distinct()
         .orderBy("k")
         .limit(max_keys)
         .collect()
     )
-    return sorted(r["k"] for r in rows if r["k"] not in RESERVED)
+    return sorted(r["k"] for r in rows)
 
 
 def promote_extra(batch: DataFrame, promoted: list[str]) -> DataFrame:

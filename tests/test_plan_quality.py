@@ -13,13 +13,15 @@ import re
 
 import pytest
 
-from etl_spark.queries import QUERIES
+from etl_spark.queries import LOCAL_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    return (
+        LOCAL_QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def scan_lines(plan: str) -> list[str]:

@@ -38,6 +38,32 @@ def test_duplicate_clusters_flat_plan_deep_chain(spark):
     assert "Join" not in plan, f"labels lineage not flattened:\n{plan}"
 
 
+def test_duplicate_clusters_pointer_jumping_beats_diameter(spark):
+    # 40-node path: plain hash-min needs 39 rounds; pointer jumping
+    # (label := label[label] each round) must converge within 8
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    out = dedup.duplicate_clusters(pairs, ids, max_iterations=8)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_duplicate_clusters_nonconvergence_is_loud(spark):
+    # an exhausted round budget must raise, never return half-propagated
+    # labels (r2 verdict: the silent 20-round cap)
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, ids, max_iterations=2)
+
+
 def test_repo_stats_collect_is_bounded(spark, tmp_path):
     # long-tail micro-batch: ~100k distinct repos in one batch.  The
     # driver must only ever see the part_id vector + top-K heavy hitters.

@@ -160,6 +160,17 @@ def test_fit_centroids_deterministic(spark, emb):
     assert np.allclose(a, b)  # partitioning-invariant (hash-ordered sample)
 
 
+def test_fit_centroids_local_bit_identical_to_spark(spark, emb):
+    # the IVF oracle embeds fit_centroids_local literals — any bit of
+    # divergence from the Spark fit would fail the driver's value hash
+    import numpy as np
+
+    a = similarity.fit_centroids(emb, n_cells=16)
+    b = similarity.fit_centroids_local(f"{SF}/embeddings.parquet", n_cells=16)
+    assert a.shape == b.shape
+    assert np.array_equal(a, b), "Spark and local centroid fits diverge"
+
+
 def test_random_hyperplane_deterministic(spark, emb):
     a = similarity.random_hyperplane_buckets(emb, bits=8, seed=42).collect()
     b = similarity.random_hyperplane_buckets(emb, bits=8, seed=42).collect()
