@@ -684,6 +684,79 @@ class LakeTable:
             "watermarks": snap.wm(),
         }
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level changelog between two snapshots (CDC-out, the
+        Iceberg-changelog analog): one row per key whose LIVE image
+        differs, with ``change_op`` in {insert, update, delete}, the
+        post-image columns, and ``pre_content_sha`` for update/delete.
+
+        Scale: carried-forward files (same manifest path in both
+        snapshots) are skipped outright — copy-on-write guarantees a
+        key's old and new images are either BOTH in rewritten files or
+        both carried (bucket rewrites are whole-bucket, and hot-repo
+        promotion migrates the old bucket in the same commit), so the
+        diff join only scans rewritten buckets.  Cost is proportional
+        to churn, not table size; unchanged survivors inside rewritten
+        buckets are dropped by an ``_ingest_seq`` equality check (no
+        content compare).  A pure compaction commit therefore yields
+        ZERO change rows.
+        """
+        snap_a = self.snapshot(from_version)
+        snap_b = self.snapshot(to_version)
+        if snap_b.version < snap_a.version:
+            raise ValueError(
+                f"to_version {snap_b.version} precedes from_version {snap_a.version}"
+            )
+        paths_a = {e.path for e in snap_a.files}
+        paths_b = {e.path for e in snap_b.files}
+        old = self._read_files(
+            snap_a, [e for e in snap_a.files if e.path not in paths_b]
+        )
+        new = self._read_files(
+            snap_b, [e for e in snap_b.files if e.path not in paths_a]
+        )
+        data_cols = [c for c in snap_b.columns if c not in KEY_COLUMNS]
+        for c in data_cols:  # evolution: pre-snapshot lacks late columns
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast("string"))
+        o = old.select(
+            *KEY_COLUMNS, *[F.col(c).alias(f"_o_{c}") for c in data_cols]
+        )
+        n = new.select(
+            *KEY_COLUMNS, *[F.col(c).alias(f"_n_{c}") for c in data_cols]
+        )
+        j = o.join(n, KEY_COLUMNS, "full_outer")
+        o_live = F.col("_o__deleted") == F.lit(False)  # null-safe: null -> false
+        n_live = F.col("_n__deleted") == F.lit(False)
+        o_live = F.coalesce(o_live, F.lit(False))
+        n_live = F.coalesce(n_live, F.lit(False))
+        unchanged = F.col("_o__ingest_seq").eqNullSafe(F.col("_n__ingest_seq"))
+        change_op = (
+            F.when(~o_live & n_live, F.lit("insert"))
+            .when(o_live & ~n_live, F.lit("delete"))
+            .when(o_live & n_live & ~unchanged, F.lit("update"))
+        )
+        post = [
+            F.col(f"_n_{c}").alias(c)
+            for c in data_cols
+            if not c.startswith("_")
+        ]
+        return (
+            j.withColumn("change_op", change_op)
+            .filter(F.col("change_op").isNotNull())
+            .select(
+                "change_op",
+                *KEY_COLUMNS,
+                *post,
+                F.col("_o_content_sha").alias("pre_content_sha"),
+                F.coalesce(F.col("_n__ingest_seq"), F.col("_o__ingest_seq")).alias(
+                    "_ingest_seq"
+                ),
+            )
+        )
+
     def vacuum(self, retain_versions: int = 2) -> list[str]:
         """Expire old snapshots and delete unreferenced (orphan) data files."""
         versions = self.history()

@@ -609,22 +609,40 @@ def udaf_geomean_event_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# applyInPandas grouped-map: numpy centroid per label.  Seedless and
-# deterministic, but float accumulation order inside numpy differs from
-# any SQL engine -> rows-only check by design.
-@register("emb_centroids_grouped")
+# applyInPandas grouped-map: numpy centroid per label.  numpy's pairwise
+# summation differs from SQL's fold by ~1 ulp, so the comparable scalar
+# is the FLOOR-ROUNDED centroid norm (1e-4 grid: a boundary-straddling
+# divergence needs the two sums to differ across a multiple of 1e-4 —
+# vanishingly unlikely at these magnitudes, same recipe emb_label_stats
+# uses).  Dims fixed at 64 (the embeddings fixture schema).
+@register(
+    "emb_centroids_grouped",
+    """
+    WITH m AS (
+      SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS mu
+      FROM embeddings CROSS JOIN generate_series(1, 64) s(i)
+      GROUP BY label, i),
+    norms AS (SELECT label, sqrt(SUM(mu * mu)) AS nrm FROM m GROUP BY label),
+    counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT label, n_vectors, floor(nrm * 10000) / 10000 AS centroid_norm
+    FROM norms JOIN counts USING (label)
+    """,
+)
 def emb_centroids_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
     import numpy as np
     import pandas as pd
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.vstack(pdf["embedding"].to_numpy())
-        c = mat.mean(axis=0)
+        c = mat.mean(axis=0, dtype=np.float64)
+        nrm = float(np.sqrt((c * c).sum()))
         return pd.DataFrame(
             {
                 "label": [int(pdf["label"].iloc[0])],
                 "n_vectors": [len(pdf)],
-                "centroid_norm": [float(np.sqrt((c * c).sum()))],
+                "centroid_norm": [math.floor(nrm * 10000) / 10000],
             }
         )
 
