@@ -53,6 +53,11 @@ class Snapshot:
     last_batch_id: int = -1
     watermarks: dict[str, int] = field(default_factory=dict)  # part_id(str) -> seq
     files: list[FileEntry] = field(default_factory=list)
+    # merge-on-read delta files: per-batch LWW-winner rows (incl.
+    # tombstones) written WITHOUT rewriting base buckets; readers resolve
+    # base ∪ delta by key at scan time.  Folded back into ``files`` by
+    # copy-on-write batches that touch their buckets, or by compact().
+    delta_files: list[FileEntry] = field(default_factory=list)
     repo_stats: dict[str, int] = field(default_factory=dict)  # top-K cumulative event counts
     parent: int | None = None
     properties: dict[str, str] = field(default_factory=dict)
@@ -68,6 +73,8 @@ class Snapshot:
     def from_json(s: str) -> "Snapshot":
         d = json.loads(s)
         d["files"] = [FileEntry(**f) for f in d["files"]]
+        # manifests written before the merge-on-read feature lack the key
+        d["delta_files"] = [FileEntry(**f) for f in d.get("delta_files", [])]
         return Snapshot(**d)
 
 

@@ -81,6 +81,9 @@ class LakeTable:
         hot_frac: float = 0.30,
         hot_min_rows: int = 10_000,
         repo_stats_topk: int = 200,
+        write_mode: str = "cow",
+        mor_min_amplification: float = 4.0,
+        mor_compact_ratio: float = 0.5,
     ) -> "LakeTable":
         t = cls(spark, root)
         if t.log.exists():
@@ -99,6 +102,9 @@ class LakeTable:
                 "hot_frac": str(hot_frac),
                 "hot_min_rows": str(hot_min_rows),
                 "repo_stats_topk": str(repo_stats_topk),
+                "write_mode": write_mode,
+                "mor_min_amplification": str(mor_min_amplification),
+                "mor_compact_ratio": str(mor_compact_ratio),
                 "total_events": "0",
             },
         )
@@ -134,6 +140,32 @@ class LakeTable:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df.select(*cols)
 
+    def _resolve(
+        self,
+        snap: Snapshot,
+        base_entries: list[FileEntry],
+        delta_entries: list[FileEntry],
+    ) -> DataFrame:
+        """Effective table rows (incl. tombstones) under merge-on-read:
+        base rows are unique per key; pending delta files may hold newer
+        versions — one LWW window by key over (_ingest_seq, _batch_id)
+        resolves them.  With no pending deltas this is a plain scan
+        (zero extra shuffle — the copy-on-write fast path)."""
+        base = self._read_files(snap, base_entries)
+        if not delta_entries:
+            return base
+        from pyspark.sql import Window
+
+        u = base.unionByName(self._read_files(snap, delta_entries))
+        w = Window.partitionBy(*KEY_COLUMNS).orderBy(
+            F.desc("_ingest_seq"), F.desc("_batch_id")
+        )
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def read(
         self,
         version: int | None = None,
@@ -144,16 +176,21 @@ class LakeTable:
         via manifest bucket + min/max stats before any Spark scan."""
         snap = self.snapshot(version)
         entries = snap.files
+        dentries = snap.delta_files
         if repo is not None:
             b = self._bucket_of_repo(snap, repo)
-            entries = [
-                e
-                for e in entries
-                if (set(b) & set(e.buckets))
-                and (e.min_repo is None or e.min_repo <= repo)
-                and (e.max_repo is None or repo <= e.max_repo)
-            ]
-        df = self._read_files(snap, entries)
+
+            def prune(es: list[FileEntry]) -> list[FileEntry]:
+                return [
+                    e
+                    for e in es
+                    if (set(b) & set(e.buckets))
+                    and (e.min_repo is None or e.min_repo <= repo)
+                    and (e.max_repo is None or repo <= e.max_repo)
+                ]
+
+            entries, dentries = prune(entries), prune(dentries)
+        df = self._resolve(snap, entries, dentries)
         if repo is not None:
             df = df.filter(F.col("repo") == repo)
         if not include_tombstones:
@@ -187,6 +224,7 @@ class LakeTable:
         delivery: str = "ordered",
         strategy: str = "auto",
         canonicalizer=None,
+        mode: str | None = None,
     ) -> dict:
         """Exactly-once merge of one micro-batch.
 
@@ -201,6 +239,12 @@ class LakeTable:
                                winning key instead of once per event.
                                When None, ``batch_df`` must already be
                                canonical.
+        mode                 — 'cow' (copy-on-write, default), 'mor'
+                               (merge-on-read delta file), or 'auto'
+                               (MoR when base-rewrite bytes exceed
+                               ``mor_min_amplification`` × delta bytes);
+                               None reads the table property
+                               ``write_mode``.
         Returns a stats dict (also the metrics-table rows' source).
         """
         t0 = time.monotonic()
@@ -232,13 +276,22 @@ class LakeTable:
         stage_dir = os.path.join(self.root, stage_rel)
         try:
             return self._apply_inner(
-                d0, d, batch_id, snap, strategy, t0, stage_dir, canonicalizer
+                d0, d, batch_id, snap, strategy, t0, stage_dir, canonicalizer, mode
             )
         finally:
             shutil.rmtree(stage_dir, ignore_errors=True)
 
     def _apply_inner(
-        self, d0, d, batch_id, snap, strategy, t0, stage_dir, canonicalizer=None
+        self,
+        d0,
+        d,
+        batch_id,
+        snap,
+        strategy,
+        t0,
+        stage_dir,
+        canonicalizer=None,
+        mode=None,
     ) -> dict:
         phases: dict[str, float] = {}
 
@@ -346,9 +399,15 @@ class LakeTable:
         delta_bytes = sum(int(r["bytes"] or 0) for r in bucket_rows)
         tp = mark("bucket_job", tp)
 
-        slice_entries = [e for e in snap.files if set(e.buckets) & touched]
+        slice_base = [e for e in snap.files if set(e.buckets) & touched]
         carried = [e for e in snap.files if not (set(e.buckets) & touched)]
-        slice_df = self._read_files(snap, slice_entries) if slice_entries else None
+        # pending merge-on-read delta files in touched buckets are folded
+        # into this rewrite (and dropped from the manifest); untouched
+        # ones are carried forward
+        slice_delta = [e for e in snap.delta_files if set(e.buckets) & touched]
+        carried_delta = [
+            e for e in snap.delta_files if not (set(e.buckets) & touched)
+        ]
 
         # -- schema evolution: delta columns not yet in the table ---------
         new_cols = [
@@ -363,6 +422,28 @@ class LakeTable:
             new_snap.schema_version = snap.schema_version + 1
 
         d_count = sum(int(r["cnt"]) for r in bucket_rows)
+
+        # -- write-mode decision: copy-on-write vs merge-on-read ----------
+        # MoR skips the base-bucket rewrite entirely (the batch's LWW
+        # winners land as a bucketed DELTA file; readers resolve by key)
+        # — the write-amplification escape hatch for small deltas over
+        # fat buckets at 10^10-event scale.  Promotion and schema-change
+        # batches stay copy-on-write (both mutate base layout/columns),
+        # as does the very first write.
+        mode = mode or snap.properties.get("write_mode", "cow")
+        slice_bytes = sum(e.bytes for e in slice_base)
+        mor_min_amp = float(snap.properties.get("mor_min_amplification", "4"))
+        use_mor = (
+            mode in ("mor", "auto")
+            and not promoted
+            and not new_cols
+            and bool(slice_base)
+            and (
+                mode == "mor"
+                or slice_bytes > mor_min_amp * max(1, delta_bytes)
+            )
+        )
+
         if strategy == "auto":
             thr = int(snap.properties.get("broadcast_threshold_rows", "2000000"))
             thr_bytes = int(
@@ -387,15 +468,33 @@ class LakeTable:
         # across source files, progressively widening every file's
         # claimed bucket span.
         npart = max(1, min(len(touched), 2048))
-        if slice_df is None:
+        if use_mor:
+            strategy = "mor-delta"
             merged = delta_rows
-        elif strategy == "broadcast":
-            resolved, news = self._merge_broadcast(
-                slice_df, staged, delta_rows, all_cols, batch_id
+            rel_dir = os.path.join(
+                "data", f"d{batch_id:08d}-{uuid.uuid4().hex[:8]}"
             )
-            merged = resolved.unionByName(news)
         else:
-            merged = self._merge_shuffle(slice_df, delta_rows, all_cols)
+            # copy-on-write: the touched slice (base files PLUS any
+            # pending delta files in those buckets, LWW-pre-resolved so
+            # the merge sees one row per key) is rewritten
+            slice_df = (
+                self._resolve(snap, slice_base, slice_delta)
+                if (slice_base or slice_delta)
+                else None
+            )
+            if slice_df is None:
+                merged = delta_rows
+            elif strategy == "broadcast":
+                resolved, news = self._merge_broadcast(
+                    slice_df, staged, delta_rows, all_cols, batch_id
+                )
+                merged = resolved.unionByName(news)
+            else:
+                merged = self._merge_shuffle(slice_df, delta_rows, all_cols)
+            rel_dir = os.path.join(
+                "data", f"b{batch_id:08d}-{uuid.uuid4().hex[:8]}"
+            )
 
         merged = (
             merged.withColumn("bucket", bexpr)
@@ -404,7 +503,6 @@ class LakeTable:
         )
 
         # -- write new data files -----------------------------------------
-        rel_dir = os.path.join("data", f"b{batch_id:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel_dir)
         merged.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
         tp = mark("merge_write", tp)
@@ -412,7 +510,12 @@ class LakeTable:
         tp = mark("scan_written", tp)
 
         # -- commit ---------------------------------------------------------
-        new_snap.files = carried + new_entries
+        if use_mor:
+            new_snap.files = list(snap.files)
+            new_snap.delta_files = list(snap.delta_files) + new_entries
+        else:
+            new_snap.files = carried + new_entries
+            new_snap.delta_files = carried_delta
         new_snap.last_batch_id = batch_id
         new_snap.watermarks = {
             str(k): v for k, v in merge_watermarks(snap.wm(), batch_wm).items()
@@ -429,6 +532,19 @@ class LakeTable:
         self.log.commit(new_snap, expect_parent=snap.version)
         mark("commit", tp)
 
+        # delta-debt control: when pending MoR rows exceed the configured
+        # fraction of base rows, fold everything down (one compaction
+        # commit) so read-time merge cost stays bounded
+        compacted = False
+        if use_mor and new_snap.delta_files:
+            base_rows = sum(e.rows for e in new_snap.files) or 1
+            debt = sum(e.rows for e in new_snap.delta_files)
+            if debt > float(
+                snap.properties.get("mor_compact_ratio", "0.5")
+            ) * base_rows:
+                self.compact()
+                compacted = True
+
         return {
             "batch_id": batch_id,
             "skipped": False,
@@ -437,10 +553,13 @@ class LakeTable:
             "repo_stat_rows": len(repo_rows),
             "delta_keys": d_count,
             "strategy": strategy,
+            "mode": "mor" if use_mor else "cow",
             "touched_buckets": sorted(touched),
-            "rewrote_files": len(slice_entries),
+            "rewrote_files": 0 if use_mor else len(slice_base),
             "carried_files": len(carried),
             "new_files": len(new_entries),
+            "delta_files_pending": len(new_snap.delta_files) if not compacted else 0,
+            "compacted": compacted,
             "promoted": promoted,
             "latency_ms": latency_ms,
         }
@@ -661,7 +780,8 @@ class LakeTable:
         seen: set[str] = set()
         rows_written = 0
         for v in self.history():
-            for e in self.snapshot(v).files:
+            s = self.snapshot(v)
+            for e in s.files + s.delta_files:
                 if e.path not in seen:
                     seen.add(e.path)
                     rows_written += e.rows
@@ -676,6 +796,8 @@ class LakeTable:
             "total_events_applied": total_events,
             "rows_written_all_versions": rows_written,
             "write_amplification": round(rows_written / total_events, 2),
+            "delta_files_pending": len(snap.delta_files),
+            "delta_rows_pending": sum(e.rows for e in snap.delta_files),
             "hot_repos": list(snap.hot_repos),
             "n_buckets_used": len(by_bucket),
             "bucket_skew": round(buckets[0] / max(1, buckets[-1]), 2)
@@ -709,14 +831,48 @@ class LakeTable:
             raise ValueError(
                 f"to_version {snap_b.version} precedes from_version {snap_a.version}"
             )
-        paths_a = {e.path for e in snap_a.files}
-        paths_b = {e.path for e in snap_b.files}
-        old = self._read_files(
-            snap_a, [e for e in snap_a.files if e.path not in paths_b]
-        )
-        new = self._read_files(
-            snap_b, [e for e in snap_b.files if e.path not in paths_a]
-        )
+        files_a = snap_a.files + snap_a.delta_files
+        files_b = snap_b.files + snap_b.delta_files
+        paths_a = {e.path for e in files_a}
+        paths_b = {e.path for e in files_b}
+        diff_a = [e for e in files_a if e.path not in paths_b]
+        diff_b = [e for e in files_b if e.path not in paths_a]
+        if snap_a.delta_files or snap_b.delta_files:
+            # merge-on-read: a key's old image may sit in a CARRIED base
+            # file while its new image arrives via a delta file, so the
+            # carried files of every touched bucket join the diff as
+            # context and each side LWW-resolves to its effective image.
+            # Unchanged keys resolve identically on both sides and are
+            # suppressed by the _ingest_seq equality below; cost is still
+            # proportional to touched buckets, never table size.
+            from pyspark.sql import Window
+
+            touched = {b for e in diff_a + diff_b for b in e.buckets}
+            context = [
+                e
+                for e in files_a
+                if e.path in paths_b and set(e.buckets) & touched
+            ]
+            w = Window.partitionBy(*KEY_COLUMNS).orderBy(
+                F.desc("_ingest_seq"), F.desc("_batch_id")
+            )
+
+            def eff(snap, entries):
+                return (
+                    self._read_files(snap, entries)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+
+            old = eff(snap_a, diff_a + context)
+            new = eff(snap_b, diff_b + context)
+        else:
+            # pure copy-on-write: whole-bucket rewrites guarantee a key's
+            # old and new images are either both in the diff sets or both
+            # carried — no resolution window needed
+            old = self._read_files(snap_a, diff_a)
+            new = self._read_files(snap_b, diff_b)
         data_cols = [c for c in snap_b.columns if c not in KEY_COLUMNS]
         for c in data_cols:  # evolution: pre-snapshot lacks late columns
             if c not in old.columns:
@@ -763,7 +919,8 @@ class LakeTable:
         keep = set(versions[-retain_versions:])
         referenced: set[str] = set()
         for v in keep:
-            for e in self.snapshot(v).files:
+            s = self.snapshot(v)
+            for e in s.files + s.delta_files:
                 referenced.add(e.path)
         removed = []
         data_root = os.path.join(self.root, "data")
@@ -782,9 +939,10 @@ class LakeTable:
         return removed
 
     def compact(self) -> dict:
-        """Rewrite the whole table into ~one file per bucket (maintenance)."""
+        """Rewrite the whole table into ~one file per bucket, folding any
+        pending merge-on-read delta files into the base (maintenance)."""
         snap = self.snapshot()
-        df = self._read_files(snap, snap.files).withColumn(
+        df = self._resolve(snap, snap.files, snap.delta_files).withColumn(
             "bucket", self._bucket_expr(snap)
         )
         n_out = max(1, len({b for e in snap.files for b in e.buckets}))
@@ -799,5 +957,10 @@ class LakeTable:
         new_entries = self._scan_written(rel_dir)
         new_snap = self._child(snap)
         new_snap.files = new_entries
+        new_snap.delta_files = []
         self.log.commit(new_snap, expect_parent=snap.version)
-        return {"files_before": len(snap.files), "files_after": len(new_entries)}
+        return {
+            "files_before": len(snap.files),
+            "delta_files_folded": len(snap.delta_files),
+            "files_after": len(new_entries),
+        }

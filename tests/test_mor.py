@@ -1,0 +1,158 @@
+"""Merge-on-read delta files: write-amplification escape hatch.
+
+The contract: for the SAME event batches, a merge-on-read table and a
+copy-on-write table converge to IDENTICAL live state (sha-keyed row
+equality) under every delivery condition — MoR changes only WHEN the
+merge work happens (read-time vs write-time), never the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark.catalog.table import LakeTable
+from etl_spark.fixtures import events_df
+from etl_spark.pipeline import canonicalize
+
+STATE = ["repo", "path", "commit", "lang", "content", "content_sha"]
+
+
+def _same_state(a, b):
+    x, y = a.select(*STATE), b.select(*STATE)
+    assert x.exceptAll(y).count() == 0
+    assert y.exceptAll(x).count() == 0
+
+
+def _batches(spark, n=800, n_batches=4, **kw):
+    ev = events_df(spark, n, n_repos=6, paths_per_repo=12, delete_pct=8, **kw)
+    span = (n + n_batches - 1) // n_batches
+    return [
+        ev.filter((F.col("seq") >= i * span) & (F.col("seq") < (i + 1) * span))
+        for i in range(n_batches)
+    ]
+
+
+def test_mor_state_equals_cow_state(spark, tmp_path):
+    cow = LakeTable.create(spark, str(tmp_path / "cow"), n_buckets=4, salt=2)
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=10.0,  # never auto-compact here
+    )
+    modes = []
+    for i, b in enumerate(_batches(spark)):
+        cow.apply_batch(canonicalize(b), i)
+        modes.append(mor.apply_batch(canonicalize(b), i).get("mode"))
+    # first batch is forced copy-on-write (no base yet); the rest are MoR
+    assert modes[0] == "cow" and set(modes[1:]) == {"mor"}
+    assert mor.snapshot().delta_files, "MoR table must hold pending deltas"
+    _same_state(cow.read(), mor.read())
+
+
+def test_mor_reduces_write_amplification(spark, tmp_path):
+    cow = LakeTable.create(spark, str(tmp_path / "cow"), n_buckets=4, salt=2)
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=10.0,
+    )
+    for i, b in enumerate(_batches(spark, n=1200, n_batches=6)):
+        cow.apply_batch(canonicalize(b), i)
+        mor.apply_batch(canonicalize(b), i)
+    wa_cow = cow.stats()["write_amplification"]
+    wa_mor = mor.stats()["write_amplification"]
+    assert wa_mor < wa_cow, f"MoR write amp {wa_mor} !< CoW {wa_cow}"
+
+
+def test_mor_out_of_order_and_duplicates_converge(spark, tmp_path):
+    # unordered delivery + redelivered events: correctness rests on the
+    # tombstoned LWW merge, which MoR defers to read time
+    ev = events_df(spark, 600, n_repos=5, paths_per_repo=10, delete_pct=10)
+    cow = LakeTable.create(spark, str(tmp_path / "cow"), n_buckets=4, salt=2)
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=10.0,
+    )
+    b0 = ev.filter(F.col("seq") >= 300)  # later half FIRST
+    b1 = ev.filter(F.col("seq") < 300)
+    b2 = ev.filter(F.col("seq") % 7 == 0)  # redelivery of a subset
+    for t in (cow, mor):
+        for i, b in enumerate((b0, b1, b2)):
+            t.apply_batch(canonicalize(b), i, delivery="unordered")
+    _same_state(cow.read(), mor.read())
+
+
+def test_mor_time_travel_and_changelog(spark, tmp_path):
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=10.0,
+    )
+    batches = _batches(spark)
+    mor.apply_batch(canonicalize(batches[0]), 0)
+    v1 = mor.snapshot().version
+    state_v1 = mor.read().select(*STATE).collect()
+    mor.apply_batch(canonicalize(batches[1]), 1)
+    v2 = mor.snapshot().version
+    # time travel re-resolves the pinned snapshot's base+delta set
+    assert sorted(map(tuple, mor.read(version=v1).select(*STATE).collect())) == sorted(
+        map(tuple, state_v1)
+    )
+    # changelog across a MoR commit: updates to carried base rows must
+    # classify as update (old image pulled from carried context), and
+    # applying the changelog reconstructs the new state
+    changes = mor.read_changes(v1, v2)
+    ops = {r["change_op"] for r in changes.select("change_op").distinct().collect()}
+    assert "update" in ops
+    from tests.test_changelog import _apply_changes
+
+    rebuilt = _apply_changes(mor.read(version=v1), changes)
+    _same_state(rebuilt, mor.read(version=v2))
+
+
+def test_compact_folds_deltas_preserving_state(spark, tmp_path):
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=10.0,
+    )
+    for i, b in enumerate(_batches(spark)):
+        mor.apply_batch(canonicalize(b), i)
+    before = mor.read().select(*STATE).collect()
+    v_pre = mor.snapshot().version
+    res = mor.compact()
+    assert res["delta_files_folded"] > 0
+    snap = mor.snapshot()
+    assert snap.delta_files == []
+    assert sorted(map(tuple, mor.read().select(*STATE).collect())) == sorted(
+        map(tuple, before)
+    )
+    # a fold-down commit changes no effective rows
+    assert mor.read_changes(v_pre, snap.version).count() == 0
+
+
+def test_auto_compaction_bounds_delta_debt(spark, tmp_path):
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=0.05,  # tiny debt budget
+    )
+    compacted = []
+    for i, b in enumerate(_batches(spark)):
+        compacted.append(mor.apply_batch(canonicalize(b), i).get("compacted"))
+    assert any(compacted), "debt cap never triggered a fold-down"
+    assert mor.stats()["delta_rows_pending"] <= mor.stats()["rows_live"]
+
+
+def test_mor_vacuum_keeps_pending_delta_files(spark, tmp_path):
+    import os
+
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=10.0,
+    )
+    for i, b in enumerate(_batches(spark)):
+        mor.apply_batch(canonicalize(b), i)
+    before = mor.read().select(*STATE).collect()
+    mor.vacuum(retain_versions=1)
+    snap = mor.snapshot()
+    for e in snap.delta_files:
+        assert os.path.exists(os.path.join(mor.root, e.path)), e.path
+    assert sorted(map(tuple, mor.read().select(*STATE).collect())) == sorted(
+        map(tuple, before)
+    )
