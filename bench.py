@@ -80,7 +80,10 @@ def bench_queries(spark) -> dict[str, float]:
 
 def bench_cdc_replay(spark) -> dict:
     """Full streaming replay of a generated change stream; returns
-    events/sec including all transactional commit overhead."""
+    events/sec including all transactional commit overhead.  Runs the
+    replay twice on the same corpus — copy-on-write (the round-over-round
+    comparable number) and merge-on-read auto mode (delta files +
+    debt-capped fold-down) — and verifies both land identical state."""
     from etl_spark.catalog.table import LakeTable
     from etl_spark.fixtures import events_df, write_event_batches
     from etl_spark.streaming.tailer import run_tailer
@@ -128,6 +131,21 @@ def bench_cdc_replay(spark) -> dict:
         )
         wall = time.monotonic() - t0
         n_final = table.read().count()
+
+        mor = LakeTable.create(
+            spark, os.path.join(root, "table_mor"), n_buckets=32, salt=8,
+            write_mode="auto",
+        )
+        t0 = time.monotonic()
+        run_tailer(
+            mor,
+            ev_dir,
+            os.path.join(root, "ckpt_mor"),
+            mode="replay",
+            max_files_per_trigger=1,
+        )
+        mor_wall = time.monotonic() - t0
+        assert mor.read().count() == n_final, "MoR state diverged from CoW"
         return {
             "events": CDC_EVENTS,
             "batches": CDC_BATCHES,
@@ -135,6 +153,8 @@ def bench_cdc_replay(spark) -> dict:
             "replay_sec": round(wall, 3),
             "events_per_sec": round(CDC_EVENTS / wall, 1),
             "content_mb_per_sec": round(actual_bytes / wall / 1e6, 1),
+            "mor_replay_sec": round(mor_wall, 3),
+            "mor_events_per_sec": round(CDC_EVENTS / mor_wall, 1),
             "final_rows": n_final,
         }
     finally:
@@ -158,7 +178,10 @@ def main() -> None:
         cdc = bench_cdc_replay(spark)
         print(f"  cdc_replay: {cdc['replay_sec']:.2f}s "
               f"({cdc['events_per_sec']:.0f} events/s)", file=sys.stderr)
+        print(f"  cdc_replay_mor: {cdc['mor_replay_sec']:.2f}s "
+              f"({cdc['mor_events_per_sec']:.0f} events/s)", file=sys.stderr)
         queries["cdc_replay"] = cdc["replay_sec"]
+        queries["cdc_replay_mor"] = cdc["mor_replay_sec"]
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         result = {
             "metric": "headline_total_sec",
