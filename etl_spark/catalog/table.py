@@ -938,14 +938,29 @@ class LakeTable:
                 os.remove(self.log._vpath(v))
         return removed
 
-    def compact(self) -> dict:
+    def compact(self, n_buckets: int | None = None) -> dict:
         """Rewrite the whole table into ~one file per bucket, folding any
-        pending merge-on-read delta files into the base (maintenance)."""
+        pending merge-on-read delta files into the base (maintenance).
+
+        ``n_buckets`` rescales the hash-bucket layout in the same commit
+        (partition-spec evolution): a table that outgrew its bucket count
+        — fat buckets mean fat copy-on-write rewrites — is re-hashed
+        once, and every subsequent read/merge/pruned-scan resolves
+        against the new count (cold-bucket hashing and hot-repo salt
+        ranges both derive from the snapshot's ``n_buckets``, so the
+        switch is atomic with the data rewrite)."""
         snap = self.snapshot()
+        new_snap = self._child(snap)
+        if n_buckets is not None:
+            new_snap.n_buckets = n_buckets
         df = self._resolve(snap, snap.files, snap.delta_files).withColumn(
-            "bucket", self._bucket_expr(snap)
+            "bucket", self._bucket_expr(new_snap)
         )
-        n_out = max(1, len({b for e in snap.files for b in e.buckets}))
+        n_out = (
+            max(1, len({b for e in snap.files for b in e.buckets}))
+            if n_buckets is None
+            else n_buckets + len(new_snap.hot_repos) * new_snap.salt
+        )
         rel_dir = os.path.join("data", f"compact-{uuid.uuid4().hex[:8]}")
         (
             df.repartition(n_out, "bucket")
@@ -955,7 +970,6 @@ class LakeTable:
             .parquet(os.path.join(self.root, rel_dir))
         )
         new_entries = self._scan_written(rel_dir)
-        new_snap = self._child(snap)
         new_snap.files = new_entries
         new_snap.delta_files = []
         self.log.commit(new_snap, expect_parent=snap.version)
@@ -963,4 +977,5 @@ class LakeTable:
             "files_before": len(snap.files),
             "delta_files_folded": len(snap.delta_files),
             "files_after": len(new_entries),
+            "n_buckets": new_snap.n_buckets,
         }

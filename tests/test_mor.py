@@ -139,6 +139,77 @@ def test_auto_compaction_bounds_delta_debt(spark, tmp_path):
     assert mor.stats()["delta_rows_pending"] <= mor.stats()["rows_live"]
 
 
+def test_mor_schema_change_batch_forces_cow_and_folds(spark, tmp_path):
+    # a mid-stream new column must promote exactly as in pure CoW: the
+    # schema-change batch is forced copy-on-write and folds the touched
+    # buckets' pending deltas
+    ev = events_df(spark, 600, n_repos=6, paths_per_repo=12)
+    with_extra = ev.withColumn(
+        "extra",
+        F.when(
+            F.col("seq") >= 400,
+            F.create_map(F.lit("branch"), F.lit("main")),
+        ),
+    )
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=10.0,
+    )
+    from etl_spark.streaming.sink import CdcSink
+
+    sink = CdcSink(mor)
+    sink.apply(with_extra.filter(F.col("seq") < 200), 0)
+    sink.apply(
+        with_extra.filter((F.col("seq") >= 200) & (F.col("seq") < 400)), 1
+    )
+    assert mor.snapshot().delta_files  # batch 1 landed as delta
+    sink.apply(with_extra.filter(F.col("seq") >= 400), 2)
+    snap = mor.snapshot()
+    assert snap.schema_version == 1 and "branch" in snap.columns
+    # the forced-CoW evolution batch folded every touched bucket's deltas
+    live = mor.read()
+    assert "branch" in live.columns
+    assert live.filter(F.col("branch") == "main").count() > 0
+
+
+def test_mor_hot_promotion_batch_forces_cow(spark, tmp_path):
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=10.0, hot_min_rows=500,
+    )
+    cold = events_df(spark, 400, n_repos=6, paths_per_repo=12, delete_pct=0)
+    mor.apply_batch(canonicalize(cold), 0)
+    hot = events_df(
+        spark, 1500, n_repos=6, paths_per_repo=12, hot_pct=80,
+        start_seq=400, delete_pct=0,
+    )
+    res = mor.apply_batch(canonicalize(hot), 1)
+    assert res["promoted"], "fixture must trigger a promotion"
+    assert res["mode"] == "cow", "promotion batch must not use MoR"
+    # promoted repo reads correctly through the salted bucket range
+    assert mor.read(repo="repo-hot").count() > 0
+
+
+def test_mor_pruned_repo_read_includes_delta_buckets(spark, tmp_path):
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=8,
+        write_mode="mor", mor_compact_ratio=10.0,
+    )
+    ev = events_df(spark, 500, n_repos=8, paths_per_repo=10, delete_pct=0)
+    mor.apply_batch(canonicalize(ev), 0)
+    ev2 = events_df(
+        spark, 60, n_repos=8, paths_per_repo=10, start_seq=500, delete_pct=0
+    )
+    mor.apply_batch(canonicalize(ev2), 1)
+    assert mor.snapshot().delta_files
+    full = mor.read()
+    for r in ("repo-0", "repo-3"):
+        pruned = mor.read(repo=r)
+        want = full.filter(F.col("repo") == r)
+        assert pruned.exceptAll(want).count() == 0
+        assert want.exceptAll(pruned).count() == 0
+
+
 def test_mor_vacuum_keeps_pending_delta_files(spark, tmp_path):
     import os
 

@@ -63,6 +63,35 @@ def test_compact_consolidates_files(spark, tmp_path):
     assert before == after
 
 
+def test_compact_rescales_buckets_mid_stream(spark, tmp_path):
+    # partition-spec evolution: re-hash 4 -> 16 buckets in one
+    # maintenance commit; state, pruned reads, and subsequent merges all
+    # resolve against the new layout
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
+    before = sorted(
+        map(tuple, t.read().select("repo", "path", "commit", "content_sha").collect())
+    )
+    res = t.compact(n_buckets=16)
+    assert res["n_buckets"] == 16
+    snap = t.snapshot()
+    assert snap.n_buckets == 16
+    assert max(b for e in snap.files for b in e.buckets) >= 4  # spread out
+    after = sorted(
+        map(tuple, t.read().select("repo", "path", "commit", "content_sha").collect())
+    )
+    assert before == after
+    # pruned read resolves against the NEW hash
+    full = t.read()
+    pruned = t.read(repo="repo-1")
+    want = full.filter(F.col("repo") == "repo-1")
+    assert pruned.exceptAll(want).count() == 0
+    assert want.exceptAll(pruned).count() == 0
+    # subsequent merge applies cleanly on the rescaled layout
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 1)
+    assert t.read().count() >= len(before)
+
+
 def test_commit_conflict_detected(spark, tmp_path):
     t, ev = _mk(spark, tmp_path)
     snap = t.snapshot()
