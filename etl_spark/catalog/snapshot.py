@@ -19,6 +19,7 @@ misconfiguration rather than corrupt state.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -58,6 +59,15 @@ class Snapshot:
     # base ∪ delta by key at scan time.  Folded back into ``files`` by
     # copy-on-write batches that touch their buckets, or by compact().
     delta_files: list[FileEntry] = field(default_factory=list)
+    # manifest sharding (Iceberg manifest-list analog): above
+    # ``manifest_shard_min_files`` entries, ``files`` is externalized
+    # into content-addressed per-bucket-group shard files under
+    # meta/shards/ and this field lists their relative paths — a commit
+    # then rewrites only the shards whose bucket groups changed (the
+    # content hash makes unchanged shards free).  In-memory, ``files``
+    # is ALWAYS fully loaded; sharding is purely a serialization concern
+    # owned by SnapshotLog.
+    file_shards: list[str] = field(default_factory=list)
     repo_stats: dict[str, int] = field(default_factory=dict)  # top-K cumulative event counts
     parent: int | None = None
     properties: dict[str, str] = field(default_factory=dict)
@@ -75,6 +85,7 @@ class Snapshot:
         d["files"] = [FileEntry(**f) for f in d["files"]]
         # manifests written before the merge-on-read feature lack the key
         d["delta_files"] = [FileEntry(**f) for f in d.get("delta_files", [])]
+        d.setdefault("file_shards", [])
         return Snapshot(**d)
 
 
@@ -84,6 +95,7 @@ class SnapshotLog:
     def __init__(self, root: str):
         self.root = root
         self.meta = os.path.join(root, "meta")
+        self.shards_dir = os.path.join(self.meta, "shards")
 
     def _vpath(self, version: int) -> str:
         return os.path.join(self.meta, f"v{version:08d}.json")
@@ -102,7 +114,14 @@ class SnapshotLog:
         if version is None:
             version = self.current_version()
         with open(self._vpath(version)) as f:
-            return Snapshot.from_json(f.read())
+            snap = Snapshot.from_json(f.read())
+        if snap.file_shards:
+            entries: list[FileEntry] = []
+            for rel in snap.file_shards:
+                with open(os.path.join(self.meta, rel)) as sf:
+                    entries.extend(FileEntry(**e) for e in json.load(sf))
+            snap.files = entries
+        return snap
 
     def history(self) -> list[int]:
         if not os.path.isdir(self.meta):
@@ -121,6 +140,49 @@ class SnapshotLog:
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
+    def _serialize(self, snap: Snapshot) -> str:
+        """Manifest serialization, sharding ``files`` above a threshold.
+
+        Entries are grouped by bucket range into CONTENT-ADDRESSED shard
+        files (``shards/s<group>-<sha256 prefix>.json``): a shard whose
+        entry set did not change hashes to the same name and is never
+        rewritten, so steady-state commit I/O is O(touched shards) + one
+        small manifest — not O(total files).  This is the Iceberg
+        manifest-list analog the flat-JSON design deliberately left as a
+        seam.  Crash between shard writes and the pointer swap leaves
+        only orphan shard files (GC'd by vacuum).  Below the threshold
+        the manifest stays a single self-contained JSON (small tables,
+        and every pre-sharding manifest, read back unchanged)."""
+        min_files = int(snap.properties.get("manifest_shard_min_files", "4096"))
+        if len(snap.files) < min_files:
+            snap.file_shards = []
+            return snap.to_json()
+        group = int(snap.properties.get("manifest_shard_buckets", "16"))
+        shards: dict[int, list[FileEntry]] = {}
+        for e in snap.files:
+            g = (min(e.buckets) if e.buckets else 0) // group
+            shards.setdefault(g, []).append(e)
+        os.makedirs(self.shards_dir, exist_ok=True)
+        rels = []
+        for g in sorted(shards):
+            payload = json.dumps(
+                [asdict(e) for e in sorted(shards[g], key=lambda e: e.path)],
+                sort_keys=True,
+            )
+            h = hashlib.sha256(payload.encode()).hexdigest()[:16]
+            rel = os.path.join("shards", f"s{g:05d}-{h}.json")
+            full = os.path.join(self.meta, rel)
+            if not os.path.exists(full):  # unchanged shard -> zero I/O
+                self._atomic_write(full, payload)
+            rels.append(rel)
+        saved = snap.files
+        snap.file_shards = rels
+        try:
+            snap.files = []
+            return snap.to_json()
+        finally:
+            snap.files = saved
+
     def commit(self, snap: Snapshot, expect_parent: int | None) -> None:
         """Atomically publish ``snap``.  ``expect_parent`` is the version
         the writer based this commit on — a cheap optimistic-concurrency
@@ -136,7 +198,7 @@ class SnapshotLog:
                 raise RuntimeError(f"non-monotonic commit {snap.version} <= {cur}")
         # a stale v-file from a crashed commit (pointer never swapped) is
         # garbage under single-writer; overwrite it atomically
-        self._atomic_write(self._vpath(snap.version), snap.to_json())
+        self._atomic_write(self._vpath(snap.version), self._serialize(snap))
         self._atomic_write(self._latest_path(), str(snap.version))
         # fsync the directory so the pointer swap is durable
         dfd = os.open(self.meta, os.O_RDONLY)

@@ -84,6 +84,8 @@ class LakeTable:
         write_mode: str = "cow",
         mor_min_amplification: float = 4.0,
         mor_compact_ratio: float = 0.5,
+        manifest_shard_min_files: int = 4096,
+        manifest_shard_buckets: int = 16,
     ) -> "LakeTable":
         t = cls(spark, root)
         if t.log.exists():
@@ -105,6 +107,8 @@ class LakeTable:
                 "write_mode": write_mode,
                 "mor_min_amplification": str(mor_min_amplification),
                 "mor_compact_ratio": str(mor_compact_ratio),
+                "manifest_shard_min_files": str(manifest_shard_min_files),
+                "manifest_shard_buckets": str(manifest_shard_buckets),
                 "total_events": "0",
             },
         )
@@ -936,6 +940,16 @@ class LakeTable:
         for v in versions:
             if v not in keep:
                 os.remove(self.log._vpath(v))
+        # content-addressed manifest shards referenced by no kept snapshot
+        shards_dir = self.log.shards_dir
+        if os.path.isdir(shards_dir):
+            kept_shards: set[str] = set()
+            for v in keep:
+                kept_shards.update(self.snapshot(v).file_shards)
+            for name in os.listdir(shards_dir):
+                if os.path.join("shards", name) not in kept_shards:
+                    os.remove(os.path.join(shards_dir, name))
+                    removed.append(os.path.join("meta", "shards", name))
         return removed
 
     def compact(self, n_buckets: int | None = None) -> dict:

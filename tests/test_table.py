@@ -92,6 +92,61 @@ def test_compact_rescales_buckets_mid_stream(spark, tmp_path):
     assert t.read().count() >= len(before)
 
 
+def test_sharded_manifest_roundtrip_and_incremental_commits(spark, tmp_path):
+    # tiny threshold forces sharding immediately; a steady-state commit
+    # must rewrite only the shards whose bucket groups changed
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), n_buckets=8, salt=2,
+        manifest_shard_min_files=2, manifest_shard_buckets=2,
+    )
+    ev = events_df(spark, 500, n_repos=8, paths_per_repo=10, delete_pct=0)
+    t.apply_batch(canonicalize(ev), 0)
+    snap1 = t.snapshot()
+    assert snap1.file_shards, "manifest must be sharded past the threshold"
+    # round trip: loaded entries equal what was committed
+    assert {e.path for e in snap1.files} == {
+        e.path for e in t.snapshot(snap1.version).files
+    }
+    state1 = sorted(
+        map(tuple, t.read().select("repo", "path", "content_sha").collect())
+    )
+
+    shards_before = set(os.listdir(t.log.shards_dir))
+    # second batch touches ONE repo -> one (or few) bucket groups change
+    ev2 = events_df(
+        spark, 30, n_repos=1, paths_per_repo=10, start_seq=500, delete_pct=0
+    )
+    t.apply_batch(canonicalize(ev2), 1)
+    snap2 = t.snapshot()
+    new_shards = set(os.listdir(t.log.shards_dir)) - shards_before
+    n_groups = len(snap2.file_shards)
+    assert len(new_shards) < n_groups, (
+        f"steady-state commit rewrote {len(new_shards)}/{n_groups} shards"
+    )
+    # unchanged bucket groups reuse their content-addressed shard files
+    assert set(snap1.file_shards) & set(snap2.file_shards), (
+        "no shard was carried between commits"
+    )
+    # state correctness through the sharded manifest
+    got = sorted(
+        map(
+            tuple,
+            t.read(version=snap1.version)
+            .select("repo", "path", "content_sha")
+            .collect(),
+        )
+    )
+    assert got == state1
+
+    # vacuum GCs shards referenced by no kept snapshot, keeps the rest
+    t.vacuum(retain_versions=1)
+    remaining = {
+        os.path.join("shards", n) for n in os.listdir(t.log.shards_dir)
+    }
+    assert remaining == set(t.snapshot().file_shards)
+    assert t.read().count() > 0
+
+
 def test_commit_conflict_detected(spark, tmp_path):
     t, ev = _mk(spark, tmp_path)
     snap = t.snapshot()
