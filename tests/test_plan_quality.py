@@ -71,10 +71,26 @@ def test_anti_semi_joins_stay_joins(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["agg_pricing_summary", "window_top3_orders", "dedup_minhash_signatures", "docs_quality"],
+    [
+        "agg_pricing_summary",
+        "window_top3_orders",
+        "dedup_minhash_signatures",
+        "docs_quality",
+        "mm_features",
+        "ann_ivf_kmeans_topk",
+    ],
 )
 def test_no_per_row_python_in_query_surface(spark, name):
     assert "BatchEvalPython" not in plan_of(spark, name)
+
+
+def test_ivf_kmeans_assignment_is_jvm_expression(spark):
+    # the oracle-checked IVF path computes cell assignment as codegen'd
+    # fold expressions over centroid literals — no Python at all in the
+    # per-row plan (the driver-side sample fit is the only Python)
+    plan = plan_of(spark, "ann_ivf_kmeans_topk")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_bucketed_embedding_neardup_is_equi_join(spark):
