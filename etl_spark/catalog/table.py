@@ -917,6 +917,37 @@ class LakeTable:
             )
         )
 
+    def maintain(
+        self,
+        retain_versions: int = 2,
+        max_files_per_bucket: float = 2.0,
+        max_delta_ratio: float = 0.25,
+    ) -> dict:
+        """Stats-driven table maintenance in one call — the nightly job a
+        10^10-event table needs: compact when small files or pending
+        merge-on-read delta debt accumulate, then expire old snapshots
+        and delete orphans.  All thresholds are manifest-derived (zero
+        data scans when nothing needs doing)."""
+        snap = self.snapshot()
+        n_buckets_used = len({b for e in snap.files for b in e.buckets}) or 1
+        rows_live = sum(e.rows for e in snap.files) or 1
+        delta_rows = sum(e.rows for e in snap.delta_files)
+        did_compact = False
+        if (
+            len(snap.files) > max_files_per_bucket * n_buckets_used
+            or delta_rows > max_delta_ratio * rows_live
+        ):
+            self.compact()
+            did_compact = True
+        removed = self.vacuum(retain_versions=retain_versions)
+        return {
+            "compacted": did_compact,
+            "files_before": len(snap.files),
+            "delta_rows_folded": delta_rows if did_compact else 0,
+            "files_now": len(self.snapshot().files),
+            "orphans_removed": len(removed),
+        }
+
     def vacuum(self, retain_versions: int = 2) -> list[str]:
         """Expire old snapshots and delete unreferenced (orphan) data files."""
         versions = self.history()

@@ -171,6 +171,39 @@ def test_fit_centroids_local_bit_identical_to_spark(spark, emb):
     assert np.array_equal(a, b), "Spark and local centroid fits diverge"
 
 
+def test_pq_recall_and_determinism(spark, emb):
+    # product quantization: 16 bytes/vector (16x compression) must keep
+    # useful recall vs exact cosine, far above the ~0.008 random-pick
+    # baseline; ranking must be partitioning-invariant
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    books = similarity.fit_pq_codebooks(emb)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(emb, q, books, k=5).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, f"PQ recall {recall:.2f} too low (measured 0.55)"
+    got2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(emb.repartition(7), q, books, k=5).collect()
+    }
+    assert got == got2
+
+
+def test_pq_search_scan_is_jvm_only(spark, emb):
+    # the ADC search over codes must be pure codegen: encoding is the
+    # one Arrow pass; the distance sum is element_at lookups
+    q = emb.filter(F.col("vec_id") < 2)
+    books = similarity.fit_pq_codebooks(emb)
+    plan = executed_plan_str(similarity.pq_topk(emb, q, books, k=3))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") <= 1  # pq_encode only
+
+
 def test_random_hyperplane_deterministic(spark, emb):
     a = similarity.random_hyperplane_buckets(emb, bits=8, seed=42).collect()
     b = similarity.random_hyperplane_buckets(emb, bits=8, seed=42).collect()
