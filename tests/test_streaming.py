@@ -43,6 +43,28 @@ def test_streaming_replay_available_now(spark, tmp_path):
     assert set(t.snapshot().wm()) == {0, 1, 2, 3}
 
 
+def test_streaming_replay_merge_on_read_auto(spark, tmp_path):
+    # the full streaming path (readStream -> foreachBatch -> commit)
+    # with merge-on-read: steady-state batches land as deltas yet the
+    # final state matches the serial oracle exactly.  (write_mode="auto"
+    # would correctly decline MoR here — this fixture's base is no
+    # bigger than each delta, so rewrite amplification is ~1.)
+    ev = events_df(spark, 800, n_repos=8, paths_per_repo=20)
+    event_dir = str(tmp_path / "events")
+    write_event_batches(ev, event_dir, n_batches=4)
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), n_buckets=8, salt=4,
+        write_mode="mor", mor_compact_ratio=10.0,
+    )
+    _q, sink = run_tailer(
+        t, event_dir, str(tmp_path / "ckpt"), mode="replay", max_files_per_trigger=1
+    )
+    applied = [s for s in sink.applied if not s.get("skipped")]
+    assert len(applied) == 4
+    assert any(s.get("mode") == "mor" for s in applied), "auto never chose MoR"
+    _assert_state_equal(_final_state(t), replay_events(ev.toPandas()))
+
+
 def test_streaming_duplicate_file_redelivery(spark, tmp_path):
     """The same events re-dropped as extra files (source-level at-least-
     once): admission + LWW keep the state exactly-once."""
