@@ -154,13 +154,7 @@ def fit_centroids(
     sample; the full corpus only pays the (distributed) assignment pass
     inside ``ivf_topk``.
     """
-    rows = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
-        .limit(sample_cap)
-        .collect()
-    )
-    x = np.vstack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    x = _hash_sample(df, id_col, vec_col, sample_cap)
     return _lloyd(x, n_cells, n_iters, seed)
 
 
@@ -237,11 +231,14 @@ def fit_pq_codebooks(
     # L2 ranking is monotone to the cosine ranking the exact baseline uses
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     sub = dim // n_subspaces
+    # a sample smaller than the codebook just yields a smaller codebook
+    # (same rule as _lloyd), not a broadcast error
+    n_centroids = min(n_centroids, len(x))
     rng = np.random.default_rng(seed)
     books = np.empty((n_subspaces, n_centroids, sub))
     for s in range(n_subspaces):
         xs = x[:, s * sub : (s + 1) * sub]
-        init = rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)
+        init = rng.choice(len(xs), size=n_centroids, replace=False)
         cents = xs[np.sort(init)].copy()
         for _ in range(n_iters):
             d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)

@@ -11,6 +11,8 @@ shuffle at all; stats/fingerprints shuffle once on the grouping key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,12 +32,32 @@ def spread(df: DataFrame) -> DataFrame:
     The probe is ``inputFiles()`` (already-resolved scan metadata), not
     ``df.rdd.getNumPartitions()`` — the latter instantiates the RDD
     lineage (a driver-side physical-plan conversion) on every call
-    (VERDICT r2 item 5).  Non-file inputs (in-memory fixtures) pass
-    through: they were created with explicit parallelism.
+    (VERDICT r2 item 5).  Scan parallelism is estimated the way Spark
+    actually splits: ceil(total bytes / maxPartitionBytes), so one big
+    SPLITTABLE file (the 100 TB case: many splits, no shuffle needed)
+    passes through, while many tiny files that pack into few splits get
+    spread.  Non-file inputs (in-memory fixtures) pass through: they
+    were created with explicit parallelism.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
+    sess = df.sparkSession
+    n = sess.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if files and len(files) < n:
+    if not files:
+        return df
+    max_split = int(sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    open_cost = int(sess.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    total = 0
+    for uri in files:
+        p = uri[len("file:") :] if uri.startswith("file:") else uri
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            # non-local URI: fall back to one-split-per-file accounting
+            total += max_split
+    # Spark packs files into splits of maxPartitionBytes, charging
+    # openCostInBytes per file — mirror that arithmetic
+    est_splits = -(-(total + len(files) * open_cost) // max_split)
+    if est_splits < n:
         return df.repartition(n)
     return df
 

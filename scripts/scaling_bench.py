@@ -174,7 +174,9 @@ def main() -> None:
             pairs.append((a, b, e))
         # best pair = least host-interfered joint measurement
         rn, rn4, eff = max(pairs, key=lambda p: p[2])
-        eff_median = sorted(p[2] for p in pairs)[len(pairs) // 2]
+        import statistics
+
+        eff_median = statistics.median(p[2] for p in pairs)
 
         extra = ""
         if args.also_8_32:

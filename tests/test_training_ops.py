@@ -171,6 +171,42 @@ def test_fit_centroids_local_bit_identical_to_spark(spark, emb):
     assert np.array_equal(a, b), "Spark and local centroid fits diverge"
 
 
+def test_mm_features_null_text_parity(spark, tmp_path):
+    # NULL/empty text: pandas decoders coalesce payload to b'' while the
+    # video frame_key null-propagates — the oracle must mirror BOTH
+    import math
+
+    import duckdb
+
+    from etl_spark.queries.training import _mm_features_oracle, mm_features
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    pq_dir = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(pq_dir)
+
+    got = sorted(
+        (int(r[0]), r[1], r[2], r[3])
+        for r in mm_features(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq_dir}/*.parquet')"
+    )
+    pdf = con.execute(_mm_features_oracle()).df()
+    want = sorted(
+        (
+            int(r[0]),
+            r[1],
+            r[2],
+            None if (isinstance(r[3], float) and math.isnan(r[3])) else r[3],
+        )
+        for r in pdf.itertuples(index=False, name=None)
+    )
+    assert got == want
+
+
 def test_pq_recall_and_determinism(spark, emb):
     # product quantization: 16 bytes/vector (16x compression) must keep
     # useful recall vs exact cosine, far above the ~0.008 random-pick
