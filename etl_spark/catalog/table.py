@@ -811,7 +811,10 @@ class LakeTable:
         }
 
     def read_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_pre: bool = False,
     ) -> DataFrame:
         """Row-level changelog between two snapshots (CDC-out, the
         Iceberg-changelog analog): one row per key whose LIVE image
@@ -903,6 +906,18 @@ class LakeTable:
             for c in data_cols
             if not c.startswith("_")
         ]
+        # pre-image columns power downstream incremental view maintenance
+        # (update deltas need the OLD value to retract); content_sha's
+        # pre-image is always present as the cheap row-identity witness
+        pre = (
+            [
+                F.col(f"_o_{c}").alias(f"pre_{c}")
+                for c in data_cols
+                if not c.startswith("_") and c != "content_sha"
+            ]
+            if include_pre
+            else []
+        )
         return (
             j.withColumn("change_op", change_op)
             .filter(F.col("change_op").isNotNull())
@@ -910,6 +925,7 @@ class LakeTable:
                 "change_op",
                 *KEY_COLUMNS,
                 *post,
+                *pre,
                 F.col("_o_content_sha").alias("pre_content_sha"),
                 F.coalesce(F.col("_n__ingest_seq"), F.col("_o__ingest_seq")).alias(
                     "_ingest_seq"
