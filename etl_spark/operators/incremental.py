@@ -149,9 +149,18 @@ class IncrementalView:
             delta = self._delta(changes)
             old = self.read().alias("s")
             d = delta.alias("d")
-            # joining ON the column-name list coalesces the group columns
-            merged = old.join(d, self.group_cols, "full_outer").select(
-                *self.group_cols,
+            # NULL-SAFE join on the group key: a nullable group column
+            # (e.g. lang) must line its state row up with its delta row —
+            # a name-list join would treat NULL != NULL and emit two rows
+            cond = None
+            for g in self.group_cols:
+                term = F.col(f"s.{g}").eqNullSafe(F.col(f"d.{g}"))
+                cond = term if cond is None else cond & term
+            merged = old.join(d, cond, "full_outer").select(
+                *[
+                    F.coalesce(F.col(f"s.{g}"), F.col(f"d.{g}")).alias(g)
+                    for g in self.group_cols
+                ],
                 (
                     F.coalesce(F.col("s.n_rows"), F.lit(0))
                     + F.coalesce(F.col("d._dn"), F.lit(0))

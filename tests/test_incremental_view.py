@@ -17,11 +17,15 @@ def _measures(c):
     return {"total_chars": F.coalesce(F.length(c("content")), F.lit(0)).cast("long")}
 
 
+def _key(row):
+    return tuple("" if v is None else str(v) for v in row)
+
+
 def _full(table, group_cols):
     return sorted(
-        map(
-            tuple,
-            table.read()
+        (
+            tuple(r)
+            for r in table.read()
             .groupBy(*group_cols)
             .agg(
                 F.count("*").alias("n_rows"),
@@ -29,22 +33,33 @@ def _full(table, group_cols):
                     F.coalesce(F.length(F.col("content")), F.lit(0)).cast("long")
                 ).alias("total_chars"),
             )
-            .collect(),
-        )
+            .collect()
+        ),
+        key=_key,
     )
 
 
 def _view_rows(view):
-    return sorted(map(tuple, view.read().select("*").collect()))
+    return sorted((tuple(r) for r in view.read().select("*").collect()), key=_key)
 
 
-def _run(spark, tmp_path, group_cols, write_mode="cow"):
+def _run(spark, tmp_path, group_cols, write_mode="cow", null_langs=False):
     t = LakeTable.create(
         spark, str(tmp_path / "lake"), n_buckets=4, salt=2,
         write_mode=write_mode, mor_compact_ratio=10.0,
     )
     view = IncrementalView(t, str(tmp_path / "view"), group_cols, _measures)
     ev = events_df(spark, 900, n_repos=5, paths_per_repo=10, delete_pct=10)
+    if null_langs:
+        # unmappable extension (deterministic per key) -> lang tags NULL
+        # for those keys: exercises the NULL group through the null-safe
+        # state merge
+        ev = ev.withColumn(
+            "path",
+            F.when(
+                F.length("path") % 2 == 0, F.concat("path", F.lit(".zz"))
+            ).otherwise(F.col("path")),
+        )
     modes = []
     for i in range(3):
         lo, hi = i * 300, (i + 1) * 300
@@ -68,6 +83,15 @@ def test_view_by_mutable_group_column(spark, tmp_path):
     # lang can CHANGE on update: the retract side must use the pre-image
     # group or rows leak between groups
     _run(spark, tmp_path, ["lang"])
+
+
+def test_view_by_nullable_group_column(spark, tmp_path):
+    # a NULL group key must merge null-safely (NULL<=>NULL), never
+    # duplicate the NULL-group row
+    view = _run(spark, tmp_path, ["lang"], null_langs=True)
+    langs = [r["lang"] for r in view.read().select("lang").collect()]
+    assert None in langs, "fixture produced no NULL lang group"
+    assert langs.count(None) == 1
 
 
 def test_view_over_merge_on_read_table(spark, tmp_path):
