@@ -210,6 +210,55 @@ def test_mor_pruned_repo_read_includes_delta_buckets(spark, tmp_path):
         assert want.exceptAll(pruned).count() == 0
 
 
+def test_mor_crash_before_commit_leaves_clean_table(spark, tmp_path):
+    # crash between the delta-file write and the snapshot commit: the
+    # orphan delta dir is never referenced, re-delivery of the same
+    # batch id applies cleanly, and vacuum reclaims the orphan
+    import os
+
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=10.0,
+    )
+    b0, b1 = _batches(spark, n=400, n_batches=2)
+    mor.apply_batch(canonicalize(b0), 0)
+    v_before = mor.snapshot().version
+
+    real_commit = mor.log.commit
+    mor.log.commit = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash before commit")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            mor.apply_batch(canonicalize(b1), 1)
+    finally:
+        mor.log.commit = real_commit
+
+    # nothing committed; re-delivery under the same batch id succeeds
+    assert mor.snapshot().version == v_before
+    res = mor.apply_batch(canonicalize(b1), 1)
+    assert not res.get("skipped")
+    state = sorted(
+        map(tuple, mor.read().select(*STATE).collect())
+    )
+    # reference: clean table, same batches
+    ref = LakeTable.create(spark, str(tmp_path / "ref"), n_buckets=4, salt=2)
+    ref.apply_batch(canonicalize(b0), 0)
+    ref.apply_batch(canonicalize(b1), 1)
+    assert state == sorted(map(tuple, ref.read().select(*STATE).collect()))
+    # the crashed attempt's delta dir is an orphan; vacuum removes it
+    removed = mor.vacuum(retain_versions=1)
+    referenced = {
+        e.path for e in mor.snapshot().files + mor.snapshot().delta_files
+    }
+    for rel in removed:
+        assert rel not in referenced
+    for e in mor.snapshot().delta_files:
+        assert os.path.exists(os.path.join(mor.root, e.path))
+
+
 def test_mor_vacuum_keeps_pending_delta_files(spark, tmp_path):
     import os
 
