@@ -132,9 +132,13 @@ def bench_cdc_replay(spark) -> dict:
         wall = time.monotonic() - t0
         n_final = table.read().count()
 
+        # forced MoR: at this corpus shape (delta ≈ base per batch) the
+        # auto heuristic would correctly stay copy-on-write, so forcing
+        # the delta path is what actually exercises delta writes + the
+        # debt-capped fold-down end-to-end
         mor = LakeTable.create(
             spark, os.path.join(root, "table_mor"), n_buckets=32, salt=8,
-            write_mode="auto",
+            write_mode="mor",
         )
         t0 = time.monotonic()
         run_tailer(

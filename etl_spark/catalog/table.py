@@ -774,7 +774,12 @@ class LakeTable:
         write_amplification = total rows ever written to data files
         (live rows across ALL retained versions' new files) divided by
         total events applied: the CoW cost knob that bucket granularity
-        controls."""
+        controls.
+
+        ``rows_live`` counts BASE-file rows only; pending merge-on-read
+        delta rows are reported separately (``delta_rows_pending``) —
+        their overlap with base keys is unknowable from the manifest
+        alone, so the resolved live count requires a read."""
         snap = self.snapshot()
         by_bucket: dict[int, int] = {}
         for e in snap.files:
