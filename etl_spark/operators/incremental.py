@@ -18,12 +18,23 @@ incremental-view-maintenance contract a 10^10-event table needs for
 its downstream rollups.
 
 Exactness: measures should be integer / decimal expressions (counts,
-byte lengths, exact sums).  Float measures would drift from a full
+byte lengths, exact sums) and NULL-total-safe: an all-NULL group sums
+to 0 in this view (both the full build and the incremental merge
+normalize NULL totals to 0 — wrap nullable inputs in ``coalesce`` if a
+different zero is wanted).  Float measures would drift from a full
 recompute by accumulation order — same caveat as every IVM system.
 
-State is a tiny parquet + a ``meta.json`` {last_version, state_dir}
-swapped atomically (write-temp + ``os.replace``), so a crashed refresh
-leaves the previous consistent state.
+Recovery: if the view's checkpoint version has been expired by
+``vacuum``/``maintain`` before a refresh, the view detects it and falls
+back to one full rebuild (mode ``"rebuild"``) — it never wedges.
+
+State is a tiny parquet + a ``meta.json`` {last_version, state_dir,
+definition fingerprint} swapped atomically (write-temp +
+``os.replace``); a crashed refresh leaves the previous consistent state
+and its orphan directory is swept by the next successful refresh.
+Single-refresher model (same as the table's single-writer model): a
+DataFrame from ``read()`` is valid until the NEXT refresh replaces the
+state — collect or persist before refreshing if you need it longer.
 """
 
 from __future__ import annotations
@@ -57,7 +68,9 @@ class IncrementalView:
             lambda c: {"total_chars": F.length(c("content")).cast("long")}
 
         The resolver binds to the post-image on apply and the pre-image
-        on retract — write measures only through it."""
+        on retract — write measures only through it.  (Key columns are
+        immutable across an update, so the resolver hands them back
+        unprefixed on both sides.)"""
         self.table = table
         self.root = root
         self.group_cols = list(group_cols)
@@ -78,6 +91,13 @@ class IncrementalView:
     def _measure_names(self) -> list[str]:
         return sorted(self.measures(lambda name: F.col(name)))
 
+    def _definition(self) -> dict:
+        # fingerprint of the view definition: reopening the same root
+        # with different group columns or measure names must not merge
+        # incompatible state.  (A changed measure FORMULA under the same
+        # name is undetectable — use a new name or a new root.)
+        return {"group_cols": self.group_cols, "measures": self._measure_names()}
+
     def read(self) -> DataFrame:
         meta = self._meta()
         if meta is None:
@@ -87,17 +107,28 @@ class IncrementalView:
         )
 
     # ------------------------------------------------------------------ #
+    def _resolver(self, side: str) -> Callable[[str], Column]:
+        if side == "post":
+            return lambda name: F.col(name)
+        # pre-image side: key columns have no pre_ image (immutable)
+        return lambda name: (
+            F.col(name) if name in KEY_COLUMNS else F.col(f"pre_{name}")
+        )
+
     def _full_aggregate(self, version: int) -> DataFrame:
         src = self.table.read(version=version)
-        m = self.measures(lambda name: F.col(name))
+        m = self.measures(self._resolver("post"))
         aggs = [F.count("*").alias("n_rows")] + [
-            F.sum(expr).alias(name) for name, expr in sorted(m.items())
+            # normalize an all-NULL group's total to 0 — the incremental
+            # merge coalesces the same way, keeping the two paths equal
+            F.coalesce(F.sum(expr), F.lit(0)).alias(name)
+            for name, expr in sorted(m.items())
         ]
         return src.groupBy(*self.group_cols).agg(*aggs)
 
     def _delta(self, changes: DataFrame) -> DataFrame:
-        post = self.measures(lambda name: F.col(name))
-        pre = self.measures(lambda name: F.col(f"pre_{name}"))
+        post = self.measures(self._resolver("post"))
+        pre = self.measures(self._resolver("pre"))
         names = sorted(post)
 
         def group_of(prefix: str) -> list[Column]:
@@ -109,19 +140,21 @@ class IncrementalView:
                 out.append(F.col(col).alias(g))
             return out
 
+        # measures keep their declared type (long, DECIMAL, ...) — no
+        # forced cast, so exact decimal sums stay exact
         apply_side = changes.filter(
             F.col("change_op").isin("insert", "update")
         ).select(
             *group_of(""),
             F.lit(1).cast("long").alias("_dn"),
-            *[post[n].cast("long").alias(n) for n in names],
+            *[post[n].alias(n) for n in names],
         )
         retract_side = changes.filter(
             F.col("change_op").isin("delete", "update")
         ).select(
             *group_of("pre_"),
             F.lit(-1).cast("long").alias("_dn"),
-            *[(-pre[n].cast("long")).alias(n) for n in names],
+            *[(-pre[n]).alias(n) for n in names],
         )
         return (
             apply_side.unionByName(retract_side)
@@ -136,6 +169,11 @@ class IncrementalView:
         cur = self.table.snapshot().version
         meta = self._meta()
         names = self._measure_names()
+        if meta is not None and meta.get("definition") != self._definition():
+            raise ValueError(
+                "view definition changed (group columns or measure names) — "
+                "use a fresh view root, or delete meta.json to force a rebuild"
+            )
         if meta is not None and meta["last_version"] == cur:
             return {"mode": "noop", "last_version": cur}
 
@@ -143,9 +181,15 @@ class IncrementalView:
             new_state = self._full_aggregate(cur)
             mode = "full"
         else:
-            changes = self.table.read_changes(
-                meta["last_version"], cur, include_pre=True
-            )
+            try:
+                changes = self.table.read_changes(
+                    meta["last_version"], cur, include_pre=True
+                )
+            except FileNotFoundError:
+                # the checkpoint snapshot was expired by vacuum/maintain:
+                # fall back to ONE full rebuild instead of wedging
+                new_state = self._full_aggregate(cur)
+                return self._swap(new_state, cur, meta, mode="rebuild")
             delta = self._delta(changes)
             old = self.read().alias("s")
             d = delta.alias("d")
@@ -175,17 +219,27 @@ class IncrementalView:
             )
             new_state = merged.filter(F.col("n_rows") > 0)
             mode = "incremental"
+        return self._swap(new_state, cur, meta, mode)
 
+    def _swap(self, new_state: DataFrame, cur: int, meta: dict | None, mode: str) -> dict:
         state_dir = f"state-v{cur:08d}-{uuid.uuid4().hex[:8]}"
         new_state.write.mode("overwrite").parquet(
             os.path.join(self.root, state_dir)
         )
         tmp = self._meta_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"last_version": cur, "state_dir": state_dir}, f)
-        os.replace(tmp, self._meta_path())
-        if meta is not None:  # previous state superseded
-            shutil.rmtree(
-                os.path.join(self.root, meta["state_dir"]), ignore_errors=True
+            json.dump(
+                {
+                    "last_version": cur,
+                    "state_dir": state_dir,
+                    "definition": self._definition(),
+                },
+                f,
             )
+        os.replace(tmp, self._meta_path())
+        # sweep every superseded/orphaned state dir (including leftovers
+        # from refreshes that crashed between write and swap)
+        for name in os.listdir(self.root):
+            if name.startswith("state-") and name != state_dir:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
         return {"mode": mode, "last_version": cur}

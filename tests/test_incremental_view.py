@@ -98,6 +98,86 @@ def test_view_over_merge_on_read_table(spark, tmp_path):
     _run(spark, tmp_path, ["repo"], write_mode="mor")
 
 
+def test_view_rebuilds_when_checkpoint_version_vacuumed(spark, tmp_path):
+    view = _run(spark, tmp_path, ["repo"])
+    t = view.table
+    ev2 = events_df(spark, 200, n_repos=5, paths_per_repo=10, start_seq=900)
+    t.apply_batch(canonicalize(ev2), 3)
+    t.vacuum(retain_versions=1)  # expires the view's checkpoint snapshot
+    assert view.refresh()["mode"] == "rebuild"
+    assert _view_rows(view) == _full(t, ["repo"])
+    # and the next refresh is incremental again
+    t.apply_batch(
+        canonicalize(
+            events_df(spark, 100, n_repos=5, paths_per_repo=10, start_seq=1100)
+        ),
+        4,
+    )
+    assert view.refresh()["mode"] == "incremental"
+    assert _view_rows(view) == _full(t, ["repo"])
+
+
+def test_view_measure_reading_key_column_and_decimal(spark, tmp_path):
+    # measures over KEY columns (no pre_ image exists) and exact DECIMAL
+    # sums must both survive the retract/apply path untruncated
+    def measures(c):
+        return {
+            "path_chars": F.length(c("path")).cast("long"),
+            "money": (F.length(c("content")) * F.lit(0.01)).cast("decimal(14,2)"),
+        }
+
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4, salt=2)
+    view = IncrementalView(t, str(tmp_path / "view"), ["lang"], measures)
+    ev = events_df(spark, 600, n_repos=5, paths_per_repo=10, delete_pct=10)
+    for i in range(2):
+        lo, hi = i * 300, (i + 1) * 300
+        t.apply_batch(
+            canonicalize(ev.filter((F.col("seq") >= lo) & (F.col("seq") < hi))), i
+        )
+        view.refresh()
+        want = sorted(
+            (
+                tuple(r)
+                for r in t.read()
+                .groupBy("lang")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.coalesce(
+                        F.sum((F.length("content") * F.lit(0.01)).cast("decimal(14,2)")),
+                        F.lit(0),
+                    ).alias("money"),
+                    F.coalesce(
+                        F.sum(F.length("path").cast("long")), F.lit(0)
+                    ).alias("path_chars"),
+                )
+                .select("lang", "n_rows", "money", "path_chars")
+                .collect()
+            ),
+            key=_key,
+        )
+        got = sorted(
+            (
+                tuple(r)
+                for r in view.read()
+                .select("lang", "n_rows", "money", "path_chars")
+                .collect()
+            ),
+            key=_key,
+        )
+        assert got == want, f"batch {i}"
+
+
+def test_view_definition_change_is_rejected(spark, tmp_path):
+    import pytest
+
+    view = _run(spark, tmp_path, ["repo"])
+    other = IncrementalView(
+        view.table, view.root, ["lang"], _measures
+    )
+    with pytest.raises(ValueError, match="definition changed"):
+        other.refresh()
+
+
 def test_view_survives_compaction(spark, tmp_path):
     view = _run(spark, tmp_path, ["repo"])
     t = view.table
