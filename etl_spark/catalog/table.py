@@ -84,6 +84,7 @@ class LakeTable:
         write_mode: str = "cow",
         mor_min_amplification: float = 4.0,
         mor_compact_ratio: float = 0.5,
+        mor_max_delta_files: int = 64,
         manifest_shard_min_files: int = 4096,
         manifest_shard_buckets: int = 16,
     ) -> "LakeTable":
@@ -107,6 +108,7 @@ class LakeTable:
                 "write_mode": write_mode,
                 "mor_min_amplification": str(mor_min_amplification),
                 "mor_compact_ratio": str(mor_compact_ratio),
+                "mor_max_delta_files": str(mor_max_delta_files),
                 "manifest_shard_min_files": str(manifest_shard_min_files),
                 "manifest_shard_buckets": str(manifest_shard_buckets),
                 "total_events": "0",
@@ -154,21 +156,35 @@ class LakeTable:
         base rows are unique per key; pending delta files may hold newer
         versions — one LWW window by key over (_ingest_seq, _batch_id)
         resolves them.  With no pending deltas this is a plain scan
-        (zero extra shuffle — the copy-on-write fast path)."""
-        base = self._read_files(snap, base_entries)
+        (zero extra shuffle — the copy-on-write fast path).
+
+        Scale: the window runs ONLY over base files in delta-touched
+        buckets; every other base file bypasses it as a plain scan
+        union'd on top — one pending KB-sized delta must never force a
+        key shuffle of the whole table."""
         if not delta_entries:
-            return base
+            return self._read_files(snap, base_entries)
         from pyspark.sql import Window
 
-        u = base.unionByName(self._read_files(snap, delta_entries))
+        delta_buckets = {b for e in delta_entries for b in e.buckets}
+        touched = [e for e in base_entries if set(e.buckets) & delta_buckets]
+        untouched = [
+            e for e in base_entries if not (set(e.buckets) & delta_buckets)
+        ]
+        u = self._read_files(snap, touched).unionByName(
+            self._read_files(snap, delta_entries)
+        )
         w = Window.partitionBy(*KEY_COLUMNS).orderBy(
             F.desc("_ingest_seq"), F.desc("_batch_id")
         )
-        return (
+        resolved = (
             u.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if not untouched:
+            return resolved
+        return self._read_files(snap, untouched).unionByName(resolved)
 
     def read(
         self,
@@ -374,9 +390,7 @@ class LakeTable:
         d = canonicalizer(staged) if canonicalizer is not None else staged
         tp = mark("stage_delta", tp)
 
-        bucket = key_bucket(
-            F.col("repo"), F.col("path"), new_snap.n_buckets, new_snap.hot_repos, new_snap.salt
-        )
+        bucket = self._bucket_expr(new_snap)
         # bucket histogram doubles as the delta-key count AND the delta
         # payload size (drives broadcast-vs-shuffle below); it reads the
         # RAW stage so the canonicalize pipeline is not re-triggered
@@ -543,9 +557,15 @@ class LakeTable:
         if use_mor and new_snap.delta_files:
             base_rows = sum(e.rows for e in new_snap.files) or 1
             debt = sum(e.rows for e in new_snap.delta_files)
+            # two debt caps: row ratio (read-merge volume) AND file count
+            # (steady-state small deltas add a file per batch while the
+            # row ratio crawls — the open-file/window-input count must
+            # stay bounded regardless)
             if debt > float(
                 snap.properties.get("mor_compact_ratio", "0.5")
-            ) * base_rows:
+            ) * base_rows or len(new_snap.delta_files) > int(
+                snap.properties.get("mor_max_delta_files", "64")
+            ):
                 self.compact()
                 compacted = True
 
@@ -662,9 +682,12 @@ class LakeTable:
         stats = dict(snap.repo_stats)
         for r, c in repo_counts.items():
             stats[r] = stats.get(r, 0) + c
-        # cap driver state: keep top-200 repos by cumulative count
-        if len(stats) > 200:
-            stats = dict(sorted(stats.items(), key=lambda kv: -kv[1])[:200])
+        # cap driver state: keep top-K repos by cumulative count (same
+        # knob as the per-batch collect — a raised repo_stats_topk must
+        # not be silently truncated back here)
+        topk = int(snap.properties.get("repo_stats_topk", "200"))
+        if len(stats) > topk:
+            stats = dict(sorted(stats.items(), key=lambda kv: -kv[1])[:topk])
         snap.repo_stats = stats
         total = int(snap.properties.get("total_events", "0")) + n_events
         frac = float(snap.properties.get("hot_frac", "0.3"))
@@ -950,12 +973,13 @@ class LakeTable:
         and delete orphans.  All thresholds are manifest-derived (zero
         data scans when nothing needs doing)."""
         snap = self.snapshot()
-        n_buckets_used = len({b for e in snap.files for b in e.buckets}) or 1
+        all_files = snap.files + snap.delta_files
+        n_buckets_used = len({b for e in all_files for b in e.buckets}) or 1
         rows_live = sum(e.rows for e in snap.files) or 1
         delta_rows = sum(e.rows for e in snap.delta_files)
         did_compact = False
         if (
-            len(snap.files) > max_files_per_bucket * n_buckets_used
+            len(all_files) > max_files_per_bucket * n_buckets_used
             or delta_rows > max_delta_ratio * rows_live
         ):
             self.compact()
@@ -970,9 +994,19 @@ class LakeTable:
         }
 
     def vacuum(self, retain_versions: int = 2) -> list[str]:
-        """Expire old snapshots and delete unreferenced (orphan) data files."""
+        """Expire old snapshots and delete unreferenced (orphan) data files.
+
+        The keep-set anchors on the LATEST pointer, never the directory
+        listing: a crash between writing v(N+1).json and swapping the
+        pointer leaves a STALE manifest above the current version, and
+        counting it toward ``retain_versions`` would let vacuum expire
+        the live manifest (data loss).  Stale above-current v-files are
+        themselves garbage and removed here."""
+        cur = self.log.current_version()
         versions = self.history()
-        keep = set(versions[-retain_versions:])
+        committed = [v for v in versions if v <= cur]
+        stale = [v for v in versions if v > cur]
+        keep = set(committed[-retain_versions:])
         referenced: set[str] = set()
         for v in keep:
             s = self.snapshot(v)
@@ -989,9 +1023,17 @@ class LakeTable:
                     removed.append(rel)
             if dirpath != data_root and not os.listdir(dirpath):
                 os.rmdir(dirpath)
-        for v in versions:
+        for v in committed:
             if v not in keep:
                 os.remove(self.log._vpath(v))
+        for v in stale:  # crashed-commit leftovers (pointer never swapped)
+            os.remove(self.log._vpath(v))
+            removed.append(os.path.relpath(self.log._vpath(v), self.root))
+        # crashed _atomic_write temp files in meta/
+        for name in os.listdir(self.log.meta):
+            if ".tmp-" in name:
+                os.remove(os.path.join(self.log.meta, name))
+                removed.append(os.path.join("meta", name))
         # content-addressed manifest shards referenced by no kept snapshot
         shards_dir = self.log.shards_dir
         if os.path.isdir(shards_dir):

@@ -24,6 +24,13 @@ from etl_spark.schemas import TABLE_COLUMNS
 # names that can never be promoted (core schema + engine internals)
 RESERVED = set(TABLE_COLUMNS) | {"seq", "part_id", "op", "ts", "extra", "bucket"}
 
+# promotable names must be plain identifiers: a key like "a.b" or
+# "a`b" would be parsed as nested-field access / break quoting in every
+# downstream F.col()/select(), killing the stream on a poison event —
+# and the "_" / "pre_" prefixes are engine temporaries (_rn, _dn, ...)
+# and changelog pre-images respectively
+PROMOTABLE_RE = "^(?!pre_)[A-Za-z][A-Za-z0-9_]*$"
+
 
 def observed_extra_keys(batch: DataFrame, max_keys: int = 64) -> list[str]:
     """Distinct keys present in the batch's ``extra`` maps (small agg).
@@ -37,9 +44,11 @@ def observed_extra_keys(batch: DataFrame, max_keys: int = 64) -> list[str]:
         return []
     rows = (
         batch.select(F.explode(F.map_keys("extra")).alias("k"))
-        # reserved names are filtered BEFORE the cap so they can never
-        # consume promotion slots in a key-flooded batch
+        # reserved / non-identifier names are filtered BEFORE the cap so
+        # they can never consume promotion slots in a key-flooded batch
+        # (a malformed key stays in `extra` instead of wedging the query)
         .filter(~F.col("k").isin(sorted(RESERVED)))
+        .filter(F.col("k").rlike(PROMOTABLE_RE))
         .distinct()
         .orderBy("k")
         .limit(max_keys)
@@ -50,9 +59,11 @@ def observed_extra_keys(batch: DataFrame, max_keys: int = 64) -> list[str]:
 
 def promote_extra(batch: DataFrame, promoted: list[str]) -> DataFrame:
     """Lift ``promoted`` extra-map keys to top-level (null-backfilled)."""
+    import re
+
     out = batch
     for k in promoted:
-        if k in RESERVED or k in out.columns:
+        if k in RESERVED or k in out.columns or not re.match(PROMOTABLE_RE, k):
             continue
         out = out.withColumn(k, F.try_element_at(F.col("extra"), F.lit(k)))
     return out

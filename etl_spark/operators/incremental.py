@@ -189,7 +189,7 @@ class IncrementalView:
                 # the checkpoint snapshot was expired by vacuum/maintain:
                 # fall back to ONE full rebuild instead of wedging
                 new_state = self._full_aggregate(cur)
-                return self._swap(new_state, cur, meta, mode="rebuild")
+                return self._swap(new_state, cur, mode="rebuild")
             delta = self._delta(changes)
             old = self.read().alias("s")
             d = delta.alias("d")
@@ -219,9 +219,9 @@ class IncrementalView:
             )
             new_state = merged.filter(F.col("n_rows") > 0)
             mode = "incremental"
-        return self._swap(new_state, cur, meta, mode)
+        return self._swap(new_state, cur, mode)
 
-    def _swap(self, new_state: DataFrame, cur: int, meta: dict | None, mode: str) -> dict:
+    def _swap(self, new_state: DataFrame, cur: int, mode: str) -> dict:
         state_dir = f"state-v{cur:08d}-{uuid.uuid4().hex[:8]}"
         new_state.write.mode("overwrite").parquet(
             os.path.join(self.root, state_dir)

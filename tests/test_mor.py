@@ -127,6 +127,25 @@ def test_compact_folds_deltas_preserving_state(spark, tmp_path):
     assert mor.read_changes(v_pre, snap.version).count() == 0
 
 
+def test_delta_file_count_cap_triggers_fold(spark, tmp_path):
+    # steady-state small deltas barely move the row ratio but add a file
+    # per batch — the file-count cap must fold them down regardless
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=100.0, mor_max_delta_files=3,
+    )
+    ev = events_df(spark, 900, n_repos=6, paths_per_repo=12, delete_pct=0)
+    compacted = []
+    for i in range(6):
+        lo, hi = i * 150, (i + 1) * 150
+        res = mor.apply_batch(
+            canonicalize(ev.filter((F.col("seq") >= lo) & (F.col("seq") < hi))), i
+        )
+        compacted.append(res.get("compacted"))
+        assert len(mor.snapshot().delta_files) <= 4
+    assert any(compacted)
+
+
 def test_auto_compaction_bounds_delta_debt(spark, tmp_path):
     mor = LakeTable.create(
         spark, str(tmp_path / "mor"), n_buckets=4, salt=2,

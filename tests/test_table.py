@@ -92,6 +92,56 @@ def test_compact_rescales_buckets_mid_stream(spark, tmp_path):
     assert t.read().count() >= len(before)
 
 
+def test_vacuum_survives_stale_manifest_from_crashed_commit(spark, tmp_path):
+    # a crash AFTER writing v(N+1).json but BEFORE swapping LATEST leaves
+    # a stale above-current manifest; vacuum must anchor on LATEST, keep
+    # the live version, and sweep the stale file — never brick the table
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 1)
+    cur = t.snapshot().version
+    before = t.read().count()
+    # simulate the crashed commit: stale v-file, pointer NOT swapped
+    stale = t._child(t.snapshot())
+    t.log._atomic_write(t.log._vpath(stale.version), stale.to_json())
+    assert t.log.current_version() == cur  # pointer untouched
+    t.vacuum(retain_versions=1)
+    assert t.log.current_version() == cur
+    assert t.read().count() == before  # live manifest + data intact
+    assert not os.path.exists(t.log._vpath(stale.version))  # stale swept
+    # normal operation continues
+    t.apply_batch(canonicalize(ev.limit(50)), 2)
+    assert t.snapshot().version > cur
+
+
+def test_poison_extra_keys_never_promote(spark, tmp_path):
+    # keys that are not plain identifiers (or that shadow engine
+    # temporaries / changelog pre-images) must stay in the extra map —
+    # one poison event must not wedge the stream
+    from etl_spark.operators.evolution import observed_extra_keys
+
+    ev = events_df(spark, 60, n_repos=3, paths_per_repo=5).withColumn(
+        "extra",
+        F.create_map(
+            F.lit("a.b"), F.lit("x"),
+            F.lit("_rn"), F.lit("x"),
+            F.lit("pre_content"), F.lit("x"),
+            F.lit("ok`name"), F.lit("x"),
+            F.lit("branch"), F.lit("main"),
+        ),
+    )
+    assert observed_extra_keys(ev) == ["branch"]
+    from etl_spark.streaming.sink import CdcSink
+
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    CdcSink(t).apply(ev, 0)
+    snap = t.snapshot()
+    assert "branch" in snap.columns
+    for bad in ("a.b", "_rn", "pre_content", "ok`name"):
+        assert bad not in snap.columns
+    assert t.read().filter(F.col("branch") == "main").count() > 0
+
+
 def test_maintain_compacts_and_vacuums_when_thresholds_hit(spark, tmp_path):
     t, ev = _mk(spark, tmp_path)
     for i in range(3):
