@@ -88,7 +88,10 @@ def cdc_dedup_redelivery(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events").select("event_id", "event_type")
     delivered = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
     return (
-        delivered.dropDuplicates(["event_id"])
+        # dedup on the SAME key the oracle's DISTINCT uses — on
+        # event_id alone the two would only coincide while event_id
+        # happens to be unique in the data
+        delivered.dropDuplicates(["event_id", "event_type"])
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
     )
@@ -112,7 +115,11 @@ def _replayed_table(spark: SparkSession, sf: str):
 
     key = f"{id(spark.sparkContext)}:{sf}"
     root = _REPLAY_CACHE.get(key)
-    if root and os.path.exists(os.path.join(root, "table", "meta")):
+    # the done-marker is written AFTER the last batch: table/meta alone
+    # would validate a replay that died mid-loop (LakeTable.create
+    # commits snapshot v0 before any batch applies) and silently serve
+    # a partial lake state
+    if root and os.path.exists(os.path.join(root, "_REPLAY_DONE")):
         return LakeTable.load(spark, os.path.join(root, "table"))
     if root:  # stale/partial build — don't leak it
         shutil.rmtree(root, ignore_errors=True)
@@ -130,6 +137,8 @@ def _replayed_table(spark: SparkSession, sf: str):
         table.apply_batch(
             batch, bid, delivery="unordered", canonicalizer=canonicalize
         )
+    with open(os.path.join(root, "_REPLAY_DONE"), "w") as f:
+        f.write("ok")
     return table
 
 

@@ -439,14 +439,13 @@ def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_sign_lsh_buckets",
+    # reuse the ONE sign-bucket SQL fragment so this oracle can never
+    # drift from the bucketed-near-dup oracle or similarity.sign_bucket
     f"""
     SELECT bucket, COUNT(*) AS n_vectors FROM (
-      SELECT CAST({' + '.join(
-          f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-          for i in range(8)
-      )} AS BIGINT) AS bucket
+      SELECT CAST({{expr}} AS BIGINT) AS bucket
       FROM embeddings) GROUP BY bucket
-    """,
+    """.format(expr=_SIGN_BUCKET_SQL.format(v="embedding")),
 )
 def ann_sign_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
@@ -529,7 +528,7 @@ def ivf_kmeans_oracle_for(sf_dir: str, n_cells: int = 16, n_probe: int = 4, k: i
 _ORACLE_SF = os.environ.get("ETL_SPARK_ORACLE_SF", "/root/testdata/sf0.01")
 try:
     _IVF_ORACLE: str | None = ivf_kmeans_oracle_for(_ORACLE_SF)
-except OSError:
+except Exception:  # missing OR corrupt parquet (pyarrow ArrowInvalid)
     _IVF_ORACLE = None
 
 

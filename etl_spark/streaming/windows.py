@@ -81,8 +81,11 @@ def rate_events(
 ) -> DataFrame:
     """Synthetic change-event stream from the rate source (load driver).
 
-    Deterministic columns derived from the rate source's ``value`` via
-    the same hashing scheme as the batch fixture generator."""
+    Deterministic columns derived from the rate source's ``value`` with
+    fixture-STYLE hashing (xxhash64 over salted seq) — deliberately a
+    simplified shape, NOT byte-identical to ``fixtures.events_df`` (its
+    op/commit/content derivations differ), so rate-driven load numbers
+    are not directly comparable with batch-fixture replays."""
     stream = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)

@@ -136,6 +136,36 @@ def test_jsonl_event_source_replay(spark, tmp_path):
     assert a.count() > 0
 
 
+def test_jsonl_malformed_lines_are_quarantined(spark, tmp_path):
+    """A truncated/garbage line and a parseable-but-keyless object must
+    be DROPPED (quarantined), never become all-null event rows in the
+    lake — one poison line must not wedge or pollute the stream."""
+    from etl_spark.catalog.table import LakeTable
+    from etl_spark.streaming.tailer import run_tailer
+
+    ev = events_df(spark, 100)
+    jdir = tmp_path / "jsonl"
+    os.makedirs(jdir)
+    rows = ev.toJSON().collect()
+    with open(jdir / "drop-000.json", "w") as f:
+        f.write("\n".join(rows[:50]))
+        f.write('\n{"seq": 9999, "truncated...')  # malformed line
+        f.write('\n{"foo": "bar"}')  # parseable but keyless
+        f.write("\n" + "\n".join(rows[50:]))
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    run_tailer(table, str(jdir), str(tmp_path / "ck"), mode="replay", fmt="json")
+    state = table.read()
+    assert state.filter(F.col("repo").isNull() | F.col("path").isNull()).count() == 0
+    # all valid rows made it
+    want = LakeTable.create(spark, str(tmp_path / "t2"), n_buckets=4)
+    pdir = str(tmp_path / "pq")
+    write_event_batches(ev, pdir, 1)
+    run_tailer(want, pdir, str(tmp_path / "ck2"), mode="replay")
+    a = state.select("repo", "path", "content_sha")
+    b = want.read().select("repo", "path", "content_sha")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_window_plans_use_stateful_ops(spark, tmp_path):
     stream = _event_stream(spark, tmp_path, n=200)
     w = throughput_by_window(stream)
