@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_spark.queries import ORACLES, QUERIES
+from etl_spark.queries import ORACLES, QUERIES, resolved_oracles
 from etl_spark.queries.cdc import cdc_replay_final_state
 
 
@@ -34,4 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # lazy oracles (data-derived literals, replay-fixture paths)
+    # materialize here; a generator that fails on this host simply drops
+    # its entry, degrading that query to the rows-only check
+    return resolved_oracles(ORACLES)

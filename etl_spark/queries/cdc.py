@@ -1,13 +1,17 @@
 """CDC queries: the engine's own semantics made driver-verifiable.
 
-Two tiers:
+Two tiers, BOTH now with full DuckDB hash oracles:
 - SQL-expressible CDC semantics (last-write-wins, high-watermark vector,
-  duplicate-delivery collapse) run over the driver's ``events`` table
-  with full DuckDB oracles — the strong check.
+  duplicate-delivery collapse) run over the driver's ``events`` table.
 - Full-engine replay (transactional snapshots, batch-id fencing, merge,
-  lineage): events are synthesized by the deterministic generator and
-  replayed through the real LakeTable; no SQL engine can reproduce the
-  commit protocol, so these are rows-only checks by design.
+  lineage): the deterministic change-event log is materialized by the
+  Spark-free generator (fixtures_local) at a STABLE parquet path, the
+  Spark side replays it through the real LakeTable, and the DuckDB
+  oracle recomputes expected state DIRECTLY from the raw events —
+  per-key LWW winners, the full normalization → lang-tag → sha256
+  pipeline mirrored in SQL, per-version batch-prefix state, and
+  per-(batch, partition) lineage.  The commit protocol itself has no SQL
+  analog, but its OUTPUT does — which is exactly what the driver hashes.
 """
 
 from __future__ import annotations
@@ -19,6 +23,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_spark.fixtures_local import (
+    REPLAY_BATCHES,
+    ensure_replay_fixture,
+)
+from etl_spark.functions.lang import EXT_LANG
 from etl_spark.queries import load, register
 
 # --------------------------------------------------------------------------
@@ -98,20 +107,18 @@ def cdc_dedup_redelivery(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# full-engine replay (rows-only: the commit protocol has no SQL analog)
+# full-engine replay, verified end-to-end against the raw event log
 # --------------------------------------------------------------------------
 
 _REPLAY_CACHE: dict[str, str] = {}
-_N_EVENTS = 4000
-_N_BATCHES = 3
 
 
 def _replayed_table(spark: SparkSession, sf: str):
-    """Replay a deterministic event stream through the real LakeTable
-    once per (session, sf) and cache the table root."""
+    """Replay the stable deterministic event fixture through the real
+    LakeTable once per (session, sf) and cache the table root."""
     from etl_spark.catalog.table import LakeTable
-    from etl_spark.fixtures import events_df, write_event_batches
     from etl_spark.pipeline import canonicalize
+    from etl_spark.sources.events import read_event_batch
 
     key = f"{id(spark.sparkContext)}:{sf}"
     root = _REPLAY_CACHE.get(key)
@@ -124,16 +131,17 @@ def _replayed_table(spark: SparkSession, sf: str):
     if root:  # stale/partial build — don't leak it
         shutil.rmtree(root, ignore_errors=True)
 
+    ev_dir = ensure_replay_fixture()
     root = tempfile.mkdtemp(prefix="etl_spark_cdcq_")
     _REPLAY_CACHE[key] = root
-    ev_dir = os.path.join(root, "events")
-    ev = events_df(spark, _N_EVENTS, seed=42, hot_pct=20)
-    batches = write_event_batches(
-        ev, ev_dir, _N_BATCHES, order="shuffled", duplicate_pct=10
-    )
     table = LakeTable.create(spark, os.path.join(root, "table"), n_buckets=8, salt=4)
+    batches = sorted(
+        os.path.join(ev_dir, f)
+        for f in os.listdir(ev_dir)
+        if f.startswith("batch-") and f.endswith(".parquet")
+    )
     for bid, p in enumerate(batches):
-        batch = spark.read.parquet(p)
+        batch = read_event_batch(spark, p)
         table.apply_batch(
             batch, bid, delivery="unordered", canonicalizer=canonicalize
         )
@@ -142,17 +150,110 @@ def _replayed_table(spark: SparkSession, sf: str):
     return table
 
 
-@register("cdc_replay_final_state")
+def _events_cte() -> str:
+    """The shared oracle CTE: raw fixture events + their batch id (from
+    the segment filename).  Ensures the fixture exists on disk — oracle
+    SQL may run before (or without) the Spark side."""
+    ev_dir = ensure_replay_fixture()
+    return f"""
+    ev AS (
+      SELECT seq, part_id, op, repo, path, "commit", lang, content,
+             CAST(regexp_extract(filename, 'batch-(\\d+)\\.parquet', 1) AS BIGINT)
+               AS batch_id
+      FROM read_parquet('{ev_dir}/batch-*.parquet', filename=true)
+    )"""
+
+
+def _ext_lang_case(ext_expr: str) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in EXT_LANG.items())
+    return f"CASE {ext_expr} {whens} END"
+
+
+def _final_state_oracle() -> str:
+    """Expected final lake state computed straight from the raw events:
+    per-key max-seq winner (globally-unique seqs make LWW order
+    batch-independent — exactly why the engine's unordered replay
+    converges), tombstones dropped, then the canonicalize pipeline
+    mirrored in SQL: CRLF/CR→LF, per-line trailing-ws strip,
+    trailing-newline collapse + final-newline policy, NFC, sha256.
+
+    Regex-dialect note: RE2's ``$`` is end-of-text only while Java's also
+    matches before a final newline — harmless here because the
+    ``[ \\t]+\\n`` pass has already removed every space-before-newline
+    by the time ``[ \\t]+$`` runs.  Shebang tagging is omitted from the
+    lang mirror: every fixture body starts with ``// `` and every path
+    carries a mapped extension (explicit > extension covers all rows).
+    """
+    lang_case = _ext_lang_case("lower(regexp_extract(path, '\\.([^./]+)$', 1))")
+    return f"""
+    WITH {_events_cte()},
+    w AS (
+      SELECT * FROM (
+        SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY repo, path
+                                        ORDER BY seq DESC) AS rn
+        FROM ev) WHERE rn = 1 AND op <> 'delete'
+    ),
+    n1 AS (
+      SELECT repo, path, "commit", lang,
+             regexp_replace(regexp_replace(content, '\\r\\n|\\r', chr(10), 'g'),
+                            '[ \\t]+\\n', chr(10), 'g') AS c
+      FROM w
+    ),
+    n2 AS (
+      SELECT repo, path, "commit", lang,
+             regexp_replace(regexp_replace(c, '[ \\t]+$', ''), '\\n+$', '') AS c
+      FROM n1
+    ),
+    canon AS (
+      SELECT repo, path, "commit", lang,
+             nfc_normalize(CASE WHEN length(c) > 0 THEN c || chr(10) ELSE c END) AS c
+      FROM n2
+    )
+    SELECT repo, path, "commit",
+           COALESCE(lang, {lang_case}) AS lang,
+           sha256(c) AS content_sha
+    FROM canon
+    """
+
+
+@register("cdc_replay_final_state", _final_state_oracle)
 def cdc_replay_final_state(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship: full exactly-once replay -> final lake state with the
-    per-row sha256 invariant column."""
+    per-row sha256 invariant column, value-hash-checked against the
+    SQL recomputation of the same event log."""
     table = _replayed_table(spark, sf)
     return table.read().select(
         "repo", "path", "commit", "lang", "content_sha"
     ).orderBy("repo", "path")
 
 
-@register("cdc_time_travel_versions")
+def _time_travel_oracle() -> str:
+    """Expected per-version state: version v holds batches 0..v-1, so the
+    live-row count is the batch-prefix LWW (max_by op over seq), the
+    fencing token is v-1 (-1 at the empty v0), and schema_version stays 0
+    (the fixture carries no late extra keys)."""
+    return f"""
+    WITH {_events_cte()},
+    vs AS (SELECT CAST(range AS BIGINT) AS version
+           FROM range(0, {REPLAY_BATCHES + 1})),
+    pv AS (
+      SELECT v.version, e.repo, e.path, max_by(e.op, e.seq) AS last_op
+      FROM vs v JOIN ev e ON e.batch_id < v.version
+      GROUP BY v.version, e.repo, e.path
+    ),
+    counts AS (
+      SELECT version, COUNT(*) FILTER (WHERE last_op <> 'delete') AS n
+      FROM pv GROUP BY version
+    )
+    SELECT v.version,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_live_rows,
+           CAST(v.version - 1 AS BIGINT) AS last_batch_id,
+           CAST(0 AS BIGINT) AS schema_version
+    FROM vs v LEFT JOIN counts c USING (version)
+    """
+
+
+@register("cdc_time_travel_versions", _time_travel_oracle)
 def cdc_time_travel_versions(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot time travel: live row count at every committed version.
 
@@ -190,14 +291,36 @@ def cdc_time_travel_versions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("cdc_metrics_lineage")
+def _lineage_oracle() -> str:
+    """Expected lineage: the engine records, per (batch, source
+    partition), min/max seq and the count of DISTINCT admitted (part,
+    seq) pairs — re-deliveries inside one segment collapse, re-deliveries
+    across segments count in their later segment (delivery='unordered'
+    applies no watermark admission filter)."""
+    return f"""
+    WITH {_events_cte()}
+    SELECT batch_id, CAST(part_id AS BIGINT) AS part_id,
+           MIN(seq) AS start_seq, MAX(seq) AS end_seq,
+           CAST(COUNT(DISTINCT seq) AS BIGINT) AS rows_applied
+    FROM ev GROUP BY batch_id, part_id
+    """
+
+
+@register("cdc_metrics_lineage", _lineage_oracle)
 def cdc_metrics_lineage(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-(batch x partition) lineage written by the transactional sink."""
+    """Per-(batch x partition) lineage written by the transactional sink,
+    checked against an independent recomputation from the raw events."""
     table = _replayed_table(spark, sf)
     metrics = os.path.join(table.root, "metrics")
     return (
         spark.read.parquet(metrics)
-        .select("batch_id", "part_id", "start_seq", "end_seq", "rows_applied")
+        .select(
+            "batch_id",
+            F.col("part_id").cast("long").alias("part_id"),
+            "start_seq",
+            "end_seq",
+            "rows_applied",
+        )
         .orderBy("batch_id", "part_id")
     )
 

@@ -522,17 +522,16 @@ def ivf_kmeans_oracle_for(sf_dir: str, n_cells: int = 16, n_probe: int = 4, k: i
 
 # The driver runs oracles at sf0.01 (pre-registered DuckDB views); the
 # local parity replica regenerates this oracle for whatever sf it tests.
-# Guarded: on a machine without the testdata (fresh clone, other CI) the
-# query degrades to the rows-only check instead of making the whole
-# package unimportable.
-_ORACLE_SF = os.environ.get("ETL_SPARK_ORACLE_SF", "/root/testdata/sf0.01")
-try:
-    _IVF_ORACLE: str | None = ivf_kmeans_oracle_for(_ORACLE_SF)
-except Exception:  # missing OR corrupt parquet (pyarrow ArrowInvalid)
-    _IVF_ORACLE = None
+# LAZY (ADVICE r3): the pyarrow read + k-means fit run at oracle_sql()
+# time, not package import; a missing/corrupt embeddings file degrades
+# the query to the rows-only check via resolved_oracles.
+def _ivf_oracle() -> str:
+    return ivf_kmeans_oracle_for(
+        os.environ.get("ETL_SPARK_ORACLE_SF", "/root/testdata/sf0.01")
+    )
 
 
-@register("ann_ivf_kmeans_topk", _IVF_ORACLE)
+@register("ann_ivf_kmeans_topk", _ivf_oracle)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Production IVF path: centroids fit with sampled spherical k-means
     (deterministic hash-ordered sample), then assign → co-partition →

@@ -36,6 +36,7 @@ from etl_spark.queries import (
     DRIVER_WINDOW,
     LOCAL_ORACLES,
     LOCAL_QUERIES,
+    resolved_oracles,
 )
 from etl_spark.queries.training import ivf_kmeans_oracle_for
 
@@ -55,8 +56,9 @@ TABLES = [
 
 # data-derived oracles are generated per sf dir; regenerate for the sf
 # this test session runs at (the exported default targets the driver's
-# sf0.01)
-ORACLES = dict(LOCAL_ORACLES)
+# sf0.01).  Lazy oracle callables materialize here, exactly as
+# __spark_entry__.oracle_sql() materializes them for the driver.
+ORACLES = resolved_oracles(LOCAL_ORACLES)
 ORACLES["ann_ivf_kmeans_topk"] = ivf_kmeans_oracle_for(SF_DIR)
 
 QUERIES = LOCAL_QUERIES
