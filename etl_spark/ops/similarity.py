@@ -174,6 +174,15 @@ def fit_centroids_local(
     centroid literals the Spark path fits — deterministic given the data,
     no SparkSession at oracle-generation time.  Bit-equality with the
     Spark fit is pinned by tests/test_training_ops.py."""
+    x = _hash_sample_local(parquet_path, id_col, vec_col, sample_cap)
+    return _lloyd(x, n_cells, n_iters, seed)
+
+
+def _hash_sample_local(
+    parquet_path: str, id_col: str, vec_col: str, sample_cap: int
+) -> np.ndarray:
+    """Spark-free replica of :func:`_hash_sample` (pyarrow + the
+    driver-side XXH64 that is bit-identical to Spark's ``xxhash64``)."""
     import pyarrow.parquet as pq
 
     from etl_spark.functions.xxhash import xxhash64 as xxh
@@ -184,8 +193,7 @@ def fit_centroids_local(
     order = sorted(
         range(len(ids)), key=lambda i: (xxh(str(ids[i]).encode()), ids[i])
     )[:sample_cap]
-    x = np.vstack([np.asarray(vecs[i], dtype=np.float64) for i in order])
-    return _lloyd(x, n_cells, n_iters, seed)
+    return np.vstack([np.asarray(vecs[i], dtype=np.float64) for i in order])
 
 
 def _hash_sample(
@@ -227,6 +235,31 @@ def fit_pq_codebooks(
     0.35 at 8×64, 0.15 at 8×16.
     """
     x = _hash_sample(df, id_col, vec_col, sample_cap)
+    return _pq_fit(x, n_subspaces, n_centroids, dim, n_iters, seed)
+
+
+def fit_pq_codebooks_local(
+    parquet_path: str,
+    n_subspaces: int = 16,
+    n_centroids: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iters: int = 8,
+    seed: int = 11,
+) -> np.ndarray:
+    """Spark-free replica of :func:`fit_pq_codebooks` — same hash-ordered
+    sample, same seeded per-subspace k-means, bit-identical codebooks.
+    Powers the data-derived DuckDB oracle for the exported PQ query."""
+    x = _hash_sample_local(parquet_path, id_col, vec_col, sample_cap)
+    return _pq_fit(x, n_subspaces, n_centroids, dim, n_iters, seed)
+
+
+def _pq_fit(
+    x: np.ndarray, n_subspaces: int, n_centroids: int, dim: int,
+    n_iters: int, seed: int,
+) -> np.ndarray:
     # unit-normalize: on the sphere ||a-b||² = 2 − 2·cos(a,b), so ADC's
     # L2 ranking is monotone to the cosine ranking the exact baseline uses
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -283,6 +316,22 @@ def pq_encode(
     )
 
 
+def adc_lut(qv: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-query ADC lookup table: squared L2 from the (normalized) query
+    subvector to every codebook centroid, flattened (subspace-major).
+    Shared by the Spark search path and the DuckDB oracle generator so
+    the embedded lut literals are bit-identical to what the JVM sums."""
+    n_sub, n_cent, sub = books.shape
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    lut = np.empty(n_sub * n_cent)
+    for s in range(n_sub):
+        qs = qv[s * sub : (s + 1) * sub]
+        lut[s * n_cent : (s + 1) * n_cent] = ((books[s] - qs[None, :]) ** 2).sum(
+            axis=1
+        )
+    return lut
+
+
 def pq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -304,17 +353,13 @@ def pq_topk(
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).collect()
-    lut_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["_qv"], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        lut = np.empty(n_sub * n_cent)
-        for s in range(n_sub):
-            qs = qv[s * sub : (s + 1) * sub]
-            lut[s * n_cent : (s + 1) * n_cent] = (
-                (books[s] - qs[None, :]) ** 2
-            ).sum(axis=1)
-        lut_rows.append((int(r["query_id"]), [float(x) for x in lut]))
+    lut_rows = [
+        (
+            int(r["query_id"]),
+            [float(x) for x in adc_lut(np.asarray(r["_qv"], dtype=np.float64), books)],
+        )
+        for r in q_rows
+    ]
     spark = df.sparkSession
     luts = spark.createDataFrame(lut_rows, "query_id long, _lut array<double>")
 

@@ -380,6 +380,9 @@ def window_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# export=False: EXCEPT-distinct is subsumed by setop_except_all_multiset
+# in the 50-entry driver window (VERDICT r3 item 5) — the slot went to
+# ann_pq_adc_topk; still oracle-verified by the local parity replica
 @register(
     "setop_open_not_finished",
     """
@@ -387,6 +390,7 @@ def window_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
     EXCEPT
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
+    export=False,
 )
 def setop_open_not_finished(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")

@@ -548,6 +548,106 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pq_adc_oracle_for(
+    sf_dir: str, n_subspaces: int = 16, n_centroids: int = 64, k: int = 5
+) -> str:
+    """DuckDB oracle for the PQ/ADC query — the same literal-embedding
+    recipe that made the IVF query hash-checkable.  Everything the Spark
+    path derives driver-side is deterministic given the data, so it is
+    re-derived Spark-free and embedded as SQL literals:
+
+    - codebooks (hash-ordered sample + seeded per-subspace k-means;
+      Spark/local bit-equality pinned by tests) -> centroid vectors and
+      their numpy-computed ||c||² as a VALUES table;
+    - per-query ADC lookup tables (the exact arrays pq_topk broadcasts)
+      -> DOUBLE[] literals.
+
+    Encoding is recomputed relationally (argmin over ||c||² − 2·x·c per
+    subspace, ties to the lowest centroid — numpy argmin's rule), and the
+    ADC distance is an EXPLICIT 16-term sum in subspace order, matching
+    the JVM's left-fold over element_at lookups bit-for-bit."""
+    import numpy as np
+
+    import pyarrow.parquet as papq
+
+    books = similarity.fit_pq_codebooks_local(
+        f"{sf_dir}/embeddings.parquet",
+        n_subspaces=n_subspaces,
+        n_centroids=n_centroids,
+    )
+    n_sub, n_cent, sub = books.shape
+    csq = (books**2).sum(axis=2)  # same expression pq_encode ranks with
+    book_vals = ", ".join(
+        f"({s}, {ci}, [{', '.join(repr(float(x)) for x in books[s, ci])}]::DOUBLE[],"
+        f" {float(csq[s, ci])!r})"
+        for s in range(n_sub)
+        for ci in range(n_cent)
+    )
+    tbl = papq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    lut_vals = ", ".join(
+        f"({int(qid)}, [{', '.join(repr(float(x)) for x in similarity.adc_lut(np.asarray(vec, dtype=np.float64), books))}]::DOUBLE[])"
+        for qid, vec in zip(
+            tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
+        )
+        if int(qid) < 8
+    )
+    dist = " + ".join(
+        f"l.lut[{s * n_cent + 1} + c.code[{s + 1}]]" for s in range(n_sub)
+    )
+    return f"""
+    WITH books AS (SELECT * FROM (VALUES {book_vals}) b(s, ci, cv, csq)),
+      luts AS (SELECT * FROM (VALUES {lut_vals}) l(query_id, lut)),
+      base AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+      nrm AS (SELECT neighbor_id,
+                     list_transform(v, x -> x / greatest(
+                         sqrt(list_dot_product(v, v)), 1e-12)) AS x
+              FROM base),
+      codes AS (
+        SELECT neighbor_id, s, ci FROM (
+          SELECT n.neighbor_id, b.s, b.ci,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY n.neighbor_id, b.s
+                   ORDER BY b.csq - 2 * list_dot_product(
+                     list_slice(n.x, b.s * {sub} + 1, b.s * {sub} + {sub}), b.cv),
+                   b.ci) AS rn
+          FROM nrm n CROSS JOIN books b) WHERE rn = 1),
+      codearr AS (SELECT neighbor_id, list(ci ORDER BY s) AS code
+                  FROM codes GROUP BY neighbor_id),
+      scored AS (
+        SELECT l.query_id, c.neighbor_id, {dist} AS d
+        FROM codearr c CROSS JOIN luts l
+        WHERE c.neighbor_id <> l.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _pq_oracle() -> str:
+    return pq_adc_oracle_for(
+        os.environ.get("ETL_SPARK_ORACLE_SF", "/root/testdata/sf0.01")
+    )
+
+
+@register("ann_pq_adc_topk", _pq_oracle)
+def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance search: vectors
+    compress to 16 B codes (one Arrow matmul pass), then the search scan
+    is a pure-JVM sum of lookup-table element_at's over the code column.
+    Full rows+schema+hash check via codebook/LUT literal embedding.
+    Measured recall@5 vs exact cosine: 0.55 at 16x64 on random gaussians
+    (PQ's adversarial case)."""
+    emb = load(spark, sf, "embeddings")
+    books = similarity.fit_pq_codebooks(emb)
+    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 8), books, k=5)
+
+
 @register(
     "emb_label_stats",
     f"""

@@ -38,7 +38,7 @@ from etl_spark.queries import (
     LOCAL_QUERIES,
     resolved_oracles,
 )
-from etl_spark.queries.training import ivf_kmeans_oracle_for
+from etl_spark.queries.training import ivf_kmeans_oracle_for, pq_adc_oracle_for
 
 SF_DIR = os.environ.get("ETL_SPARK_PARITY_SF", "/root/testdata/sf0.001")
 TABLES = [
@@ -60,6 +60,7 @@ TABLES = [
 # __spark_entry__.oracle_sql() materializes them for the driver.
 ORACLES = resolved_oracles(LOCAL_ORACLES)
 ORACLES["ann_ivf_kmeans_topk"] = ivf_kmeans_oracle_for(SF_DIR)
+ORACLES["ann_pq_adc_topk"] = pq_adc_oracle_for(SF_DIR)
 
 QUERIES = LOCAL_QUERIES
 WITH_ORACLE = sorted(ORACLES)

@@ -171,6 +171,17 @@ def test_fit_centroids_local_bit_identical_to_spark(spark, emb):
     assert np.array_equal(a, b), "Spark and local centroid fits diverge"
 
 
+def test_fit_pq_codebooks_local_bit_identical_to_spark(spark, emb):
+    # the PQ/ADC oracle embeds fit_pq_codebooks_local literals — same
+    # bit-equality requirement as the IVF centroids
+    import numpy as np
+
+    a = similarity.fit_pq_codebooks(emb)
+    b = similarity.fit_pq_codebooks_local(f"{SF}/embeddings.parquet")
+    assert a.shape == b.shape
+    assert np.array_equal(a, b), "Spark and local PQ codebook fits diverge"
+
+
 def test_mm_features_null_text_parity(spark, tmp_path):
     # NULL/empty text: pandas decoders coalesce payload to b'' while the
     # video frame_key null-propagates — the oracle must mirror BOTH
