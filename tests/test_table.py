@@ -263,3 +263,39 @@ def test_read_by_repo_prunes_files(spark, tmp_path):
     b = t._bucket_of_repo(snap, "repo-1")
     candidate = [e for e in snap.files if set(b) & set(e.buckets)]
     assert len(candidate) < len(snap.files)
+
+
+def test_commit_stats_are_executor_side_and_exact(spark, tmp_path, monkeypatch):
+    """VERDICT r3 item 2: the commit path must not parse parquet footers
+    on the driver (a thousands-of-files backfill commit would serialize
+    on driver I/O).  ParquetFile is poisoned for the duration of the
+    merge + compaction; the manifest must still carry EXACT per-file
+    stats (rows, single bucket, true repo min/max)."""
+    import pyarrow.parquet as pa_pq
+
+    import etl_spark.catalog.table as table_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side ParquetFile on the commit path")
+
+    monkeypatch.setattr(table_mod.pq, "ParquetFile", _boom)
+    assert pa_pq.ParquetFile is _boom  # same module object — guard is live
+
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 1)
+    t.compact()
+
+    snap = t.snapshot()
+    assert snap.files
+    total_rows = 0
+    for e in snap.files:
+        assert len(e.buckets) == 1  # partitionBy("bucket") => exact
+        assert e.bytes > 0 and e.rows > 0
+        df = spark.read.parquet(os.path.join(t.root, e.path))
+        got = df.agg(
+            F.count("*").alias("n"), F.min("repo").alias("lo"), F.max("repo").alias("hi")
+        ).first()
+        assert (e.rows, e.min_repo, e.max_repo) == (got["n"], got["lo"], got["hi"])
+        total_rows += e.rows
+    assert total_rows == t.read(include_tombstones=True).count()
