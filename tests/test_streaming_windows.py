@@ -138,8 +138,9 @@ def test_jsonl_event_source_replay(spark, tmp_path):
 
 def test_jsonl_malformed_lines_are_quarantined(spark, tmp_path):
     """A truncated/garbage line and a parseable-but-keyless object must
-    be DROPPED (quarantined), never become all-null event rows in the
-    lake — one poison line must not wedge or pollute the stream."""
+    be RETAINED in the table's quarantine directory (raw text + reason,
+    counted in the sink stats), never become all-null event rows in the
+    lake — and one poison line must not wedge or pollute the stream."""
     from etl_spark.catalog.table import LakeTable
     from etl_spark.streaming.tailer import run_tailer
 
@@ -153,9 +154,20 @@ def test_jsonl_malformed_lines_are_quarantined(spark, tmp_path):
         f.write('\n{"foo": "bar"}')  # parseable but keyless
         f.write("\n" + "\n".join(rows[50:]))
     table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
-    run_tailer(table, str(jdir), str(tmp_path / "ck"), mode="replay", fmt="json")
+    _, sink = run_tailer(
+        table, str(jdir), str(tmp_path / "ck"), mode="replay", fmt="json"
+    )
     state = table.read()
     assert state.filter(F.col("repo").isNull() | F.col("path").isNull()).count() == 0
+    # rejects landed in quarantine with raw text + reason, and the count
+    # surfaced in the per-batch sink stats
+    q = spark.read.parquet(str(tmp_path / "t" / "quarantine" / "*"))
+    qrows = {(r["reason"], r["raw"]) for r in q.collect()}
+    assert len(qrows) == 2
+    reasons = {r for r, _ in qrows}
+    assert reasons == {"malformed_json", "null_envelope"}
+    assert any(raw.startswith('{"seq": 9999') for _, raw in qrows)
+    assert sum(s.get("quarantined", 0) for s in sink.applied) == 2
     # all valid rows made it
     want = LakeTable.create(spark, str(tmp_path / "t2"), n_buckets=4)
     pdir = str(tmp_path / "pq")
