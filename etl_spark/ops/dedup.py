@@ -285,6 +285,7 @@ def simhash_hamming_pairs(
     max_distance: int = 3,
     word_bits: int = 16,
     n_words: int = 4,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by 64-bit SimHash hamming distance, found via
     word-banding: candidates must agree EXACTLY on ≥1 of the ``n_words``
@@ -295,6 +296,17 @@ def simhash_hamming_pairs(
     in fewer words than exist, so some word matches exactly → for
     ``max_distance <= n_words - 1`` this finds EVERY qualifying pair.
     Beyond that it is LSH-style (recall < 1), still deterministic.
+
+    ``max_band_freq`` is the hot-band guard (same philosophy as
+    ``ngram_jaccard_pairs``' ``max_shingle_freq``): a degenerate corpus —
+    thousands of near-empty docs collapsing to the same fingerprint word
+    — funnels into one band bucket and turns the self-join quadratic.
+    Band values carried by more than ``max_band_freq`` docs are dropped
+    from candidate generation (a broadcast anti-join on the tiny hot
+    set).  Trade-off: pairs whose ONLY agreeing word is a hot value are
+    missed, so the pigeonhole completeness bound holds only for pairs
+    untouched by the cap — at scale that is the standard posting-list
+    truncation.  Default None (off) keeps exact parity with the oracle.
     """
     sigs = simhash_words(df, id_col, text_col, word_bits, n_words)
     # one materialization: the band join reads it twice, the hamming
@@ -306,6 +318,14 @@ def simhash_hamming_pairs(
             "band", "wv"
         ),
     )
+    if max_band_freq is not None:
+        hot = (
+            bands.groupBy("band", "wv")
+            .agg(F.count("*").alias("_f"))
+            .filter(F.col("_f") > max_band_freq)
+            .select("band", "wv")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "wv"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "wv"])
@@ -451,16 +471,34 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     bucket_bits: int = 0,
+    max_bucket_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine similarity.
 
     bucket_bits=0: exact quadratic pair join (oracle / small inputs).
     bucket_bits=b: sign-LSH prefilter — pairs are only compared within a
     2^b-way bucket (recall<1 but O(n²/2^b) cost; the scale path).
+
+    ``max_bucket_freq`` is the hot-bucket guard: a corpus with a dominant
+    sign pattern (e.g. all-positive embeddings from a ReLU encoder)
+    funnels into one bucket and the within-bucket join degenerates back
+    toward quadratic.  Buckets holding more than ``max_bucket_freq``
+    vectors are excluded (broadcast anti-join); their members simply
+    produce no pairs — at scale, route such corpora through more bits or
+    a centered/rotated hash family instead.  Default None (off) keeps
+    exact parity with the oracle.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if bucket_bits > 0:
         base = base.withColumn("_bkt", sign_bucket(F.col("_v"), bucket_bits))
+        if max_bucket_freq is not None:
+            hot = (
+                base.groupBy("_bkt")
+                .agg(F.count("*").alias("_f"))
+                .filter(F.col("_f") > max_bucket_freq)
+                .select("_bkt")
+            )
+            base = base.join(F.broadcast(hot), "_bkt", "left_anti")
         join_on = ["_bkt"]
         a, b = base.alias("a"), base.alias("b")
         pairs = a.join(b, join_on).filter(F.col("a._id") < F.col("b._id"))

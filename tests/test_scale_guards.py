@@ -128,3 +128,50 @@ def test_pruned_read_launches_no_jobs(spark, tmp_path):
     assert all(buckets) and after == before, "_bucket_of_repo launched Spark jobs"
     # and the pruned scan still reads the right rows
     assert t.read(repo="repo-3").filter(F.col("repo") != "repo-3").count() == 0
+
+
+def test_simhash_hot_band_cap_defuses_degenerate_corpus(spark):
+    # 1000 near-empty docs sharing one word collapse to ONE fingerprint:
+    # every band bucket holds all 1000 docs -> ~2M candidate pairs
+    # uncapped.  With the cap the degenerate bands drop out entirely and
+    # a genuinely distinct near-dup pair is still found via its own
+    # (cold) bands.
+    rows = [(i, "boilerplate header") for i in range(1000)]
+    rows += [(2000, "alpha beta gamma delta epsilon zeta"),
+             (2001, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.simhash_hamming_pairs(df, max_distance=6, max_band_freq=100)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (2000, 2001) in got
+    # no pair from the degenerate clique survives
+    assert all(a >= 2000 for a, _ in got), got
+    # and on a benign corpus the cap changes nothing
+    benign = spark.createDataFrame(
+        [(i, f"unique doc number {i} with words {i * 7} {i * 13}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = {(r["id_a"], r["id_b"], r["hamming"])
+         for r in dedup.simhash_hamming_pairs(benign, max_distance=10).collect()}
+    b = {(r["id_a"], r["id_b"], r["hamming"])
+         for r in dedup.simhash_hamming_pairs(
+             benign, max_distance=10, max_band_freq=100).collect()}
+    assert a == b
+
+
+def test_embedding_hot_bucket_cap(spark):
+    # 500 all-positive vectors share sign bucket 2^6-1; uncapped that is
+    # ~125k in-bucket comparisons.  Capped, the hot bucket drops and the
+    # distinct near-dup pair in a cold bucket is still found.
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [abs(rnd.gauss(0, 1)) + 0.01 for _ in range(64)])
+            for i in range(500)]
+    neg = [-1.0] * 32 + [1.0] * 32
+    rows += [(9000, [x * 1.0 for x in neg]), (9001, [x * 0.9 for x in neg])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = dedup.embedding_neardup_pairs(
+        df, threshold=0.9, bucket_bits=6, max_bucket_freq=100
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(9000, 9001)}
