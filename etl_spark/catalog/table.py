@@ -154,9 +154,15 @@ class LakeTable:
     ) -> DataFrame:
         """Effective table rows (incl. tombstones) under merge-on-read:
         base rows are unique per key; pending delta files may hold newer
-        versions — one LWW window by key over (_ingest_seq, _batch_id)
-        resolves them.  With no pending deltas this is a plain scan
-        (zero extra shuffle — the copy-on-write fast path).
+        versions — one LWW window by key over (_ingest_seq DESC,
+        _batch_id ASC) resolves them.  The ASC tie-break mirrors the
+        copy-on-write merges, which keep the TARGET row on equal seq
+        (idempotent re-delivery): the earliest-applied batch wins a seq
+        tie everywhere, so MoR reads, CoW merges, and compaction share
+        ONE LWW semantics even if a producer ever emitted distinct
+        payloads under one seq (ADVICE r3).  With no pending deltas this
+        is a plain scan (zero extra shuffle — the copy-on-write fast
+        path).
 
         Scale: the window runs ONLY over base files in delta-touched
         buckets; every other base file bypasses it as a plain scan
@@ -175,7 +181,7 @@ class LakeTable:
             self._read_files(snap, delta_entries)
         )
         w = Window.partitionBy(*KEY_COLUMNS).orderBy(
-            F.desc("_ingest_seq"), F.desc("_batch_id")
+            F.desc("_ingest_seq"), F.asc("_batch_id")
         )
         resolved = (
             u.withColumn("_rn", F.row_number().over(w))
@@ -886,8 +892,10 @@ class LakeTable:
                 for e in files_a
                 if e.path in paths_b and set(e.buckets) & touched
             ]
+            # same (seq DESC, batch ASC) order as _resolve: one LWW
+            # semantics across reads, merges, changelog, compaction
             w = Window.partitionBy(*KEY_COLUMNS).orderBy(
-                F.desc("_ingest_seq"), F.desc("_batch_id")
+                F.desc("_ingest_seq"), F.asc("_batch_id")
             )
 
             def eff(snap, entries):
@@ -964,6 +972,7 @@ class LakeTable:
         retain_versions: int = 2,
         max_files_per_bucket: float = 2.0,
         max_delta_ratio: float = 0.25,
+        stale_grace_sec: float = 600.0,
     ) -> dict:
         """Stats-driven table maintenance in one call — the nightly job a
         10^10-event table needs: compact when small files or pending
@@ -982,7 +991,9 @@ class LakeTable:
         ):
             self.compact()
             did_compact = True
-        removed = self.vacuum(retain_versions=retain_versions)
+        removed = self.vacuum(
+            retain_versions=retain_versions, stale_grace_sec=stale_grace_sec
+        )
         return {
             "compacted": did_compact,
             "files_before": len(snap.files),
@@ -991,7 +1002,9 @@ class LakeTable:
             "orphans_removed": len(removed),
         }
 
-    def vacuum(self, retain_versions: int = 2) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 2, stale_grace_sec: float = 600.0
+    ) -> list[str]:
         """Expire old snapshots and delete unreferenced (orphan) data files.
 
         The keep-set anchors on the LATEST pointer, never the directory
@@ -999,7 +1012,24 @@ class LakeTable:
         pointer leaves a STALE manifest above the current version, and
         counting it toward ``retain_versions`` would let vacuum expire
         the live manifest (data loss).  Stale above-current v-files are
-        themselves garbage and removed here."""
+        themselves garbage and removed here.
+
+        ``stale_grace_sec`` (ADVICE r3): anything that LOOKS like crash
+        garbage — unreferenced data files, above-current v-files,
+        ``.tmp-`` manifests — is indistinguishable from a commit that is
+        in flight RIGHT NOW between its file writes and the pointer swap.
+        The engine is single-writer by design, but a nightly maintain()
+        running beside the streaming tailer is exactly that race; only
+        remove candidates whose mtime is older than the grace window
+        (any in-flight commit finishes in seconds).  Pass 0 to force."""
+        now = time.time()
+
+        def expired(fp: str) -> bool:
+            try:
+                return now - os.path.getmtime(fp) >= stale_grace_sec
+            except OSError:
+                return False  # vanished mid-walk: someone else owns it
+
         cur = self.log.current_version()
         versions = self.history()
         committed = [v for v in versions if v <= cur]
@@ -1016,7 +1046,7 @@ class LakeTable:
             for name in filenames:
                 fp = os.path.join(dirpath, name)
                 rel = os.path.relpath(fp, self.root)
-                if rel not in referenced:
+                if rel not in referenced and expired(fp):
                     os.remove(fp)
                     removed.append(rel)
             if dirpath != data_root and not os.listdir(dirpath):
@@ -1025,12 +1055,14 @@ class LakeTable:
             if v not in keep:
                 os.remove(self.log._vpath(v))
         for v in stale:  # crashed-commit leftovers (pointer never swapped)
-            os.remove(self.log._vpath(v))
-            removed.append(os.path.relpath(self.log._vpath(v), self.root))
+            if expired(self.log._vpath(v)):
+                os.remove(self.log._vpath(v))
+                removed.append(os.path.relpath(self.log._vpath(v), self.root))
         # crashed _atomic_write temp files in meta/
         for name in os.listdir(self.log.meta):
-            if ".tmp-" in name:
-                os.remove(os.path.join(self.log.meta, name))
+            fp = os.path.join(self.log.meta, name)
+            if ".tmp-" in name and expired(fp):
+                os.remove(fp)
                 removed.append(os.path.join("meta", name))
         # content-addressed manifest shards referenced by no kept snapshot
         shards_dir = self.log.shards_dir
@@ -1039,8 +1071,9 @@ class LakeTable:
             for v in keep:
                 kept_shards.update(self.snapshot(v).file_shards)
             for name in os.listdir(shards_dir):
-                if os.path.join("shards", name) not in kept_shards:
-                    os.remove(os.path.join(shards_dir, name))
+                fp = os.path.join(shards_dir, name)
+                if os.path.join("shards", name) not in kept_shards and expired(fp):
+                    os.remove(fp)
                     removed.append(os.path.join("meta", "shards", name))
         return removed
 

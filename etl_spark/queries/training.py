@@ -819,7 +819,18 @@ def _melt(df: DataFrame, modality: str, cols: list[str]) -> DataFrame:
     ).select("media_id", F.lit(modality).alias("modality"), "feature", "value")
 
 
-@register("mm_features", _mm_features_oracle())
+def _mm_oracle_if_fallback() -> str | None:
+    """ADVICE r3: the SQL oracle hard-codes the sha256-byte-math fallback
+    decoders.  On an environment where PIL/soundfile ARE installed the
+    Spark side emits real decoder features — registering the oracle there
+    would fail a correct query (or silently validate only the fallback).
+    Gate at resolution time: real decoders present → rows-only check."""
+    if multimodal._HAVE_PIL or multimodal._HAVE_SOUNDFILE:
+        return None
+    return _mm_features_oracle()
+
+
+@register("mm_features", _mm_oracle_if_fallback)
 def mm_features(spark: SparkSession, sf: str) -> DataFrame:
     """All three multimodal extraction paths (image / audio / video) in
     one long-format feature table — exercising the full mapInPandas

@@ -103,7 +103,7 @@ def test_view_rebuilds_when_checkpoint_version_vacuumed(spark, tmp_path):
     t = view.table
     ev2 = events_df(spark, 200, n_repos=5, paths_per_repo=10, start_seq=900)
     t.apply_batch(canonicalize(ev2), 3)
-    t.vacuum(retain_versions=1)  # expires the view's checkpoint snapshot
+    t.vacuum(retain_versions=1, stale_grace_sec=0)  # expires the view's checkpoint snapshot
     assert view.refresh()["mode"] == "rebuild"
     assert _view_rows(view) == _full(t, ["repo"])
     # and the next refresh is incremental again

@@ -268,7 +268,7 @@ def test_mor_crash_before_commit_leaves_clean_table(spark, tmp_path):
     ref.apply_batch(canonicalize(b1), 1)
     assert state == sorted(map(tuple, ref.read().select(*STATE).collect()))
     # the crashed attempt's delta dir is an orphan; vacuum removes it
-    removed = mor.vacuum(retain_versions=1)
+    removed = mor.vacuum(retain_versions=1, stale_grace_sec=0)
     referenced = {
         e.path for e in mor.snapshot().files + mor.snapshot().delta_files
     }
@@ -288,10 +288,42 @@ def test_mor_vacuum_keeps_pending_delta_files(spark, tmp_path):
     for i, b in enumerate(_batches(spark)):
         mor.apply_batch(canonicalize(b), i)
     before = mor.read().select(*STATE).collect()
-    mor.vacuum(retain_versions=1)
+    mor.vacuum(retain_versions=1, stale_grace_sec=0)
     snap = mor.snapshot()
     for e in snap.delta_files:
         assert os.path.exists(os.path.join(mor.root, e.path)), e.path
     assert sorted(map(tuple, mor.read().select(*STATE).collect())) == sorted(
         map(tuple, before)
     )
+
+
+def test_seq_tie_resolution_matches_cow(spark, tmp_path):
+    """ADVICE r3: a producer violating seq uniqueness (same seq, distinct
+    payloads, delivered in different batches) must resolve to the SAME
+    winner under MoR read-time resolution, CoW merge, and compaction:
+    the earliest-applied batch keeps the row (idempotent-redelivery
+    semantics generalized)."""
+    rows_a = [(100, 0, "insert", "r1", "src/a.py", "c1", None, "first payload")]
+    rows_b = [(100, 0, "insert", "r1", "src/a.py", "c2", None, "second payload")]
+    schema = ("seq long, part_id int, op string, repo string, path string, "
+              "commit string, lang string, content string")
+
+    def mk(mode):
+        t = LakeTable.create(
+            spark, str(tmp_path / f"t_{mode}"), n_buckets=2, write_mode=mode,
+            mor_compact_ratio=100.0,  # keep the delta pending for the test
+        )
+        for bid, rows in enumerate([rows_a, rows_b]):
+            b = spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.timestamp_seconds(F.lit(1767225600))
+            ).withColumn("extra", F.lit(None).cast("map<string,string>"))
+            t.apply_batch(b, bid, delivery="unordered", canonicalizer=canonicalize)
+        return t
+
+    cow, mor = mk("cow"), mk("mor")
+    assert mor.snapshot().delta_files, "MoR table must actually hold deltas"
+    got_cow = cow.read().select("commit").first()["commit"]
+    got_mor = mor.read().select("commit").first()["commit"]
+    assert got_cow == got_mor == "c1"  # earliest batch wins the tie everywhere
+    mor.compact()
+    assert mor.read().select("commit").first()["commit"] == "c1"

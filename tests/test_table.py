@@ -42,7 +42,7 @@ def test_vacuum_removes_orphans_and_old_versions(spark, tmp_path):
     with open(os.path.join(orphan_dir, "part-0.parquet"), "w") as f:
         f.write("junk")
     before = t.read().count()
-    removed = t.vacuum(retain_versions=1)
+    removed = t.vacuum(retain_versions=1, stale_grace_sec=0)
     assert any("dead" in r for r in removed)
     assert t.read().count() == before  # live state untouched
     assert len(t.history()) == 1
@@ -105,7 +105,7 @@ def test_vacuum_survives_stale_manifest_from_crashed_commit(spark, tmp_path):
     stale = t._child(t.snapshot())
     t.log._atomic_write(t.log._vpath(stale.version), stale.to_json())
     assert t.log.current_version() == cur  # pointer untouched
-    t.vacuum(retain_versions=1)
+    t.vacuum(retain_versions=1, stale_grace_sec=0)
     assert t.log.current_version() == cur
     assert t.read().count() == before  # live manifest + data intact
     assert not os.path.exists(t.log._vpath(stale.version))  # stale swept
@@ -154,7 +154,7 @@ def test_maintain_compacts_and_vacuums_when_thresholds_hit(spark, tmp_path):
     )
     # CoW already consolidates touched buckets, so files/bucket hovers
     # at ~1.0 — a sub-1.0 threshold forces the compaction branch
-    res = t.maintain(retain_versions=1, max_files_per_bucket=0.9)
+    res = t.maintain(retain_versions=1, max_files_per_bucket=0.9, stale_grace_sec=0)
     assert res["compacted"] and res["files_now"] <= res["files_before"]
     assert res["orphans_removed"] > 0
     after = sorted(
@@ -162,7 +162,7 @@ def test_maintain_compacts_and_vacuums_when_thresholds_hit(spark, tmp_path):
     )
     assert before == after
     # idle table: second maintain is a no-op metadata check
-    res2 = t.maintain(retain_versions=1, max_files_per_bucket=10.0)
+    res2 = t.maintain(retain_versions=1, max_files_per_bucket=10.0, stale_grace_sec=0)
     assert not res2["compacted"]
 
 
@@ -213,7 +213,7 @@ def test_sharded_manifest_roundtrip_and_incremental_commits(spark, tmp_path):
     assert got == state1
 
     # vacuum GCs shards referenced by no kept snapshot, keeps the rest
-    t.vacuum(retain_versions=1)
+    t.vacuum(retain_versions=1, stale_grace_sec=0)
     remaining = {
         os.path.join("shards", n) for n in os.listdir(t.log.shards_dir)
     }
@@ -299,3 +299,34 @@ def test_commit_stats_are_executor_side_and_exact(spark, tmp_path, monkeypatch):
         assert (e.rows, e.min_repo, e.max_repo) == (got["n"], got["lo"], got["hi"])
         total_rows += e.rows
     assert total_rows == t.read(include_tombstones=True).count()
+
+
+def test_vacuum_grace_spares_inflight_commit_artifacts(spark, tmp_path):
+    """ADVICE r3: fresh unreferenced data files / above-current v-files /
+    .tmp manifests are indistinguishable from a commit in flight between
+    its file writes and the pointer swap — default-grace vacuum must
+    leave them alone; grace=0 (the explicit force) removes them."""
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
+    # simulate a concurrent writer mid-commit: orphan data file + stale
+    # v-file above current + an _atomic_write temp file, all fresh
+    orphan = os.path.join(t.root, "data", "inflight-000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not yet referenced")
+    cur = t.snapshot()
+    stale = Snapshot.from_json(cur.to_json())
+    stale.version = cur.version + 7
+    t.log._atomic_write(t.log._vpath(stale.version), stale.to_json())
+    tmp_manifest = os.path.join(t.log.meta, "v99.json.tmp-deadbeef")
+    with open(tmp_manifest, "w") as f:
+        f.write("{}")
+
+    t.vacuum(retain_versions=1)  # default grace
+    assert os.path.exists(orphan)
+    assert os.path.exists(t.log._vpath(stale.version))
+    assert os.path.exists(tmp_manifest)
+
+    t.vacuum(retain_versions=1, stale_grace_sec=0)
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(t.log._vpath(stale.version))
+    assert not os.path.exists(tmp_manifest)
