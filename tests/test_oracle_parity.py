@@ -157,3 +157,27 @@ def test_driver_window_contract():
     )
     # everything exported is also locally verified
     assert set(q) <= set(LOCAL_QUERIES)
+
+
+def test_doc_counts_match_registry():
+    """README.md / COVERAGE.md quote registry sizes; those drift one query
+    at a time as variants are added (VERDICT r3 item 9) — pin them to
+    the live registry so they can't rot."""
+    import re
+
+    from etl_spark.queries import ORACLES, QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(repo, "README.md")).read()
+    coverage = open(os.path.join(repo, "COVERAGE.md")).read()
+
+    nq, no = len(LOCAL_QUERIES), len(LOCAL_ORACLES)
+    assert f"{nq} named queries ({len(QUERIES)} driver-exported)" in readme
+    assert f"{no} with exact DuckDB oracles" in readme
+    assert f"{nq}-query / {no}-oracle set" in readme
+    assert f"all {nq} local queries" in coverage and f"{no} oracles" in coverage
+    # and the exported window itself
+    assert len(QUERIES) == 50 and len(ORACLES) == 50
+    # any other stale counts of the form "N named queries" would be caught
+    for m in re.finditer(r"(\d+) named queries", readme):
+        assert int(m.group(1)) == nq
