@@ -727,6 +727,10 @@ class LakeTable:
         from urllib.parse import unquote, urlparse
 
         abs_dir = os.path.join(self.root, rel_dir)
+        # an empty write (no partition dirs) has nothing to scan — and
+        # spark.read on it would fail schema inference
+        if not any(s.startswith("bucket=") for s in os.listdir(abs_dir)):
+            return []
         stats = (
             self.spark.read.parquet(abs_dir)
             .groupBy(F.input_file_name().alias("_file"), F.col("bucket"))
