@@ -87,6 +87,7 @@ class LakeTable:
         mor_max_delta_files: int = 64,
         manifest_shard_min_files: int = 4096,
         manifest_shard_buckets: int = 16,
+        stage_small_rows: int = 25_000,
     ) -> "LakeTable":
         t = cls(spark, root)
         if t.log.exists():
@@ -111,6 +112,7 @@ class LakeTable:
                 "mor_max_delta_files": str(mor_max_delta_files),
                 "manifest_shard_min_files": str(manifest_shard_min_files),
                 "manifest_shard_buckets": str(manifest_shard_buckets),
+                "stage_small_rows": str(stage_small_rows),
                 "total_events": "0",
             },
         )
@@ -390,9 +392,21 @@ class LakeTable:
         # critical path; the bucket histogram reads the raw stage, and
         # canonicalize (normalize/NFC/sha256 — including the only Python
         # hop) runs exactly once, applied to the staged scan feeding the
-        # merge write ---------------------------------------------------
-        d.write.mode("overwrite").parquet(stage_dir)
-        staged = self.spark.read.parquet(stage_dir)
+        # merge write.
+        # Stage medium: a parquet round-trip for big batches (Spark's
+        # in-memory columnar cache anti-scales on KB-wide content rows),
+        # but for SMALL batches — the steady-state tail, where a
+        # dedicated write job + read setup is ~1.5 s of pure fixed cost
+        # per micro-batch — a lazy localCheckpoint materializes the
+        # winners as plain row blocks (no columnar encode) on their
+        # first consumer instead.  Same reuse semantics either way:
+        # every consumer below scans one materialization. -----------------
+        small_rows = int(snap.properties.get("stage_small_rows", "25000"))
+        if n_events <= small_rows:
+            staged = d.localCheckpoint(eager=False)
+        else:
+            d.write.mode("overwrite").parquet(stage_dir)
+            staged = self.spark.read.parquet(stage_dir)
         d = canonicalizer(staged) if canonicalizer is not None else staged
         tp = mark("stage_delta", tp)
 
