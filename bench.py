@@ -205,24 +205,38 @@ def bench_tail(spark) -> dict:
     micro-batches draining pre-dropped binlog segments one file per
     trigger, reporting per-batch merge latency percentiles — the
     production steady state the availableNow replay number doesn't
-    cover."""
+    cover.
+
+    Shape matters: production steady state is a SMALL delta ticking over
+    a BIG table, so a base load (untimed setup) precedes the tail and the
+    keyspace is wide enough that tail batches touch a sliver of it.  The
+    table runs write_mode='auto' — the row-amplification test routes these
+    batches to merge-on-read deltas exactly as a 10^10-row deployment
+    would (the r4 bytes-vs-rows fix; forcing copy-on-write here measured
+    ~1.5× slower p50)."""
     from etl_spark.catalog.table import LakeTable
     from etl_spark.fixtures import events_df, write_event_batches
+    from etl_spark.pipeline import canonicalize
     from etl_spark.streaming.tailer import run_tailer
 
     n_batches = int(os.environ.get("ETL_SPARK_BENCH_TAIL_BATCHES", "12"))
     n_events = int(os.environ.get("ETL_SPARK_BENCH_TAIL_EVENTS", "120000"))
+    n_base = int(os.environ.get("ETL_SPARK_BENCH_TAIL_BASE", "400000"))
     root = tempfile.mkdtemp(prefix="etl_spark_tail_")
     try:
-        ev = events_df(
-            spark, n_events, seed=13, n_repos=50, paths_per_repo=200,
-            hot_pct=20, content_bytes=CDC_CONTENT_BYTES,
+        fixture = dict(
+            seed=13, n_repos=50, paths_per_repo=2000, hot_pct=20,
+            content_bytes=CDC_CONTENT_BYTES,
         )
+        base = events_df(spark, n_base, **fixture)
+        ev = events_df(spark, n_events, start_seq=n_base, **fixture)
         ev_dir = os.path.join(root, "events")
         write_event_batches(ev, ev_dir, n_batches, order="seq")
         table = LakeTable.create(
-            spark, os.path.join(root, "table"), n_buckets=16, salt=8
+            spark, os.path.join(root, "table"), n_buckets=16, salt=8,
+            write_mode="auto",
         )
+        table.apply_batch(base, 0, canonicalizer=canonicalize)  # untimed setup
         t0 = time.monotonic()
         q, sink = run_tailer(
             table, ev_dir, os.path.join(root, "ckpt"), mode="tail",
@@ -249,10 +263,17 @@ def bench_tail(spark) -> dict:
         def pct(p: float) -> int:
             return lats[min(len(lats) - 1, int(p * len(lats)))]
 
+        applied_stats = [s for s in sink.applied if not s.get("skipped")]
         return {
             "batches": len(lats),
             "events": n_events,
+            "base_rows": n_base,
             "events_per_batch": n_events // n_batches,
+            "modes": {
+                m: sum(1 for s in applied_stats if s.get("mode") == m)
+                for m in ("mor", "cow")
+            },
+            "compactions": sum(1 for s in applied_stats if s.get("compacted")),
             "batch_latency_ms_p50": pct(0.50),
             "batch_latency_ms_p95": pct(0.95),
             "batch_latency_ms_max": lats[-1],

@@ -39,6 +39,24 @@ class CdcSink:
         self.applied: list[dict] = []  # per-batch stats (driver-side diag)
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Streaming epochs restart at 0 under a FRESH checkpoint, but the
+        # table may already hold batches (bootstrap backfill via
+        # apply_batch, then tail) — raw epoch 0 would hit the fence and
+        # the first micro-batch would be silently DROPPED.  Map
+        # epoch -> table batch id through an offset persisted in the
+        # table properties: computed once (next free id minus this
+        # epoch), committed atomically WITH the first batch, stable
+        # across restarts and re-deliveries (same epoch -> same id ->
+        # fence works exactly as before).
+        snap = self.table.snapshot()
+        off_prop = snap.properties.get("stream_epoch_offset")
+        set_props = None
+        if off_prop is None:
+            offset = snap.last_batch_id + 1 - batch_id
+            set_props = {"stream_epoch_offset": str(offset)}
+        else:
+            offset = int(off_prop)
+        batch_id = batch_id + offset
         # JSONL source: rejects (unparseable lines, null-envelope rows)
         # are retained under <table>/quarantine/ and counted — never
         # silently dropped, never merged
@@ -62,7 +80,8 @@ class CdcSink:
         # canonicalize runs inside apply_batch AFTER LWW dedup — the
         # normalize/NFC/sha256 pipeline prices winning keys, not events
         stats = self.table.apply_batch(
-            batch_df, batch_id, delivery=self.delivery, canonicalizer=canon
+            batch_df, batch_id, delivery=self.delivery, canonicalizer=canon,
+            set_properties=set_props,
         )
         stats["quarantined"] = quarantined
         self.applied.append(stats)

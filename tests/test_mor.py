@@ -327,3 +327,31 @@ def test_seq_tie_resolution_matches_cow(spark, tmp_path):
     assert got_cow == got_mor == "c1"  # earliest batch wins the tie everywhere
     mor.compact()
     assert mor.read().select("commit").first()["commit"] == "c1"
+
+
+def test_auto_amplification_is_row_based(spark, tmp_path):
+    """auto mode decides on ROWS rewritten vs delta keys, not on-disk
+    bytes: compressed slice bytes vs an uncompressed delta estimate
+    understated amplification by the codec ratio and kept a 9x-row
+    steady-state tail on copy-on-write (r4 fix).  A wide-key base with a
+    small update batch must go MoR; a delta that rewrites ~every base
+    row must stay CoW."""
+    ev = events_df(spark, 2200, n_repos=10, paths_per_repo=200, delete_pct=0)
+    base = ev.filter(F.col("seq") < 2000)   # ~2000 distinct keys
+    small = ev.filter(F.col("seq") >= 2000)  # ~200 keys, amplification ~10x
+    t = LakeTable.create(
+        spark, str(tmp_path / "auto"), n_buckets=4, salt=2, write_mode="auto",
+        mor_compact_ratio=10.0,
+    )
+    assert t.apply_batch(canonicalize(base), 0)["mode"] == "cow"  # first write
+    assert t.apply_batch(canonicalize(small), 1)["mode"] == "mor"
+
+    # same-size delta over the same keyspace: amplification ~1 -> CoW
+    ev2 = events_df(spark, 800, n_repos=6, paths_per_repo=12, delete_pct=0)
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "auto2"), n_buckets=4, salt=2, write_mode="auto",
+        mor_compact_ratio=10.0,
+    )
+    halves = [ev2.filter(F.col("seq") < 400), ev2.filter(F.col("seq") >= 400)]
+    assert t2.apply_batch(canonicalize(halves[0]), 0)["mode"] == "cow"
+    assert t2.apply_batch(canonicalize(halves[1]), 1)["mode"] == "cow"

@@ -128,3 +128,47 @@ def test_fixture5_resume_from_checkpoint(spark, tmp_path):
     assert (per_batch > 0).all()
     applied_total = int(m[m.part_id >= 0]["rows_applied"].sum())
     assert applied_total == 900  # every event applied exactly once
+
+
+def test_fresh_tailer_on_backfilled_table_loses_nothing(spark, tmp_path):
+    """Bootstrap backfill (direct apply_batch) then tail with a FRESH
+    checkpoint: streaming epochs restart at 0, which previously collided
+    with the backfill's batch id and fence-dropped the first micro-batch.
+    The sink's persisted epoch offset maps epoch 0 -> next free id."""
+    from etl_spark.pipeline import canonicalize
+
+    ev = events_df(spark, 600, n_repos=8, paths_per_repo=20)
+    base = ev.filter(F.col("seq") < 300)
+    tail = ev.filter(F.col("seq") >= 300)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8, salt=4)
+    t.apply_batch(base, 0, canonicalizer=canonicalize)
+
+    event_dir = str(tmp_path / "events")
+    write_event_batches(tail, event_dir, n_batches=2)
+    _q, sink = run_tailer(
+        t, event_dir, str(tmp_path / "ckpt"), mode="replay",
+        max_files_per_trigger=1,
+    )
+    applied = [s for s in sink.applied if not s.get("skipped")]
+    assert [s["batch_id"] for s in applied] == [1, 2]  # nothing fenced away
+    assert t.snapshot().properties["stream_epoch_offset"] == "1"
+    _assert_state_equal(_final_state(t), replay_events(ev.toPandas()))
+
+    # late segment under the SAME checkpoint: offset comes from the
+    # persisted property (not recomputed), so ids keep advancing by one
+    late = events_df(spark, 100, n_repos=8, paths_per_repo=20, start_seq=600)
+    write_event_batches(late, event_dir + "-late", n_batches=1)
+    import shutil as _sh
+
+    _sh.copy(
+        event_dir + "-late/batch-00000.parquet",
+        event_dir + "/batch-00099.parquet",
+    )
+    _q2, sink2 = run_tailer(
+        t, event_dir, str(tmp_path / "ckpt"), mode="replay",
+        max_files_per_trigger=1,
+    )
+    applied2 = [s for s in sink2.applied if not s.get("skipped")]
+    assert [s["batch_id"] for s in applied2] == [3]
+    all_ev = ev.unionByName(late)
+    _assert_state_equal(_final_state(t), replay_events(all_ev.toPandas()))
