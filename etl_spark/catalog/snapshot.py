@@ -103,6 +103,23 @@ class SnapshotLog:
     def _latest_path(self) -> str:
         return os.path.join(self.meta, "LATEST")
 
+    def _tags_path(self) -> str:
+        return os.path.join(self.meta, "TAGS.json")
+
+    def read_tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tag analog): tag -> version."""
+        try:
+            with open(self._tags_path()) as f:
+                return {str(k): int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def write_tags(self, tags: dict[str, int]) -> None:
+        os.makedirs(self.meta, exist_ok=True)
+        self._atomic_write(
+            self._tags_path(), json.dumps(dict(sorted(tags.items())), indent=1)
+        )
+
     def exists(self) -> bool:
         return os.path.exists(self._latest_path())
 

@@ -126,11 +126,41 @@ class LakeTable:
             raise FileNotFoundError(f"no table at {root}")
         return t
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(self, version: int | str | None = None) -> Snapshot:
+        """Current snapshot, or time travel by version number or tag name."""
+        if isinstance(version, str):
+            tags = self.log.read_tags()
+            if version not in tags:
+                raise KeyError(f"no tag {version!r} (tags: {sorted(tags)})")
+            version = tags[version]
         return self.log.read(version)
 
     def history(self) -> list[int]:
         return self.log.history()
+
+    # ------------------------------------------------------------------ #
+    # named refs (Iceberg tag analog)
+    # ------------------------------------------------------------------ #
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named ref to a snapshot version (default: current).
+        Tagged versions are exempt from vacuum's retention window, so a
+        tag is a durable restore point for ``rollback``/time travel."""
+        if version is None:
+            version = self.log.current_version()
+        elif version not in self.history():
+            raise KeyError(f"no snapshot v{version}")
+        tags = self.log.read_tags()
+        tags[name] = int(version)
+        self.log.write_tags(tags)
+        return int(version)
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.log.read_tags()
+        tags.pop(name, None)
+        self.log.write_tags(tags)
+
+    def tags(self) -> dict[str, int]:
+        return self.log.read_tags()
 
     # ------------------------------------------------------------------ #
     # reads
@@ -1081,6 +1111,9 @@ class LakeTable:
         committed = [v for v in versions if v <= cur]
         stale = [v for v in versions if v > cur]
         keep = set(committed[-retain_versions:])
+        # tagged versions are durable restore points: exempt from the
+        # retention window (their manifests AND data files stay live)
+        keep |= {v for v in self.log.read_tags().values() if v in set(committed)}
         referenced: set[str] = set()
         for v in keep:
             s = self.snapshot(v)
@@ -1163,4 +1196,63 @@ class LakeTable:
             "delta_files_folded": len(snap.delta_files),
             "files_after": len(new_entries),
             "n_buckets": new_snap.n_buckets,
+        }
+
+    def rollback(self, version: int | str) -> dict:
+        """Restore the table to an earlier snapshot (Delta ``RESTORE`` /
+        Iceberg ``rollback_to_snapshot`` analog) as a NEW commit — the
+        version chain stays monotonic and append-only, so the rollback is
+        itself time-travelable, auditable, and changelog-visible
+        (``read_changes`` across it emits the revert diff, which
+        ``IncrementalView`` consumes like any other delta).
+
+        Restored verbatim from the target: data state (``files`` +
+        ``delta_files``), bucket layout (``n_buckets``/``salt``/
+        ``hot_repos`` — the restored files were written under it), schema
+        (``columns``/``schema_version``), the admission watermark vector,
+        ``repo_stats``, ``last_batch_id``, and properties.  Restoring the
+        fence + watermarks is what makes re-ingest work: events after the
+        restore point re-admit instead of being dropped as duplicates.
+        ``stream_epoch_offset`` is the one property cleared — a post-
+        rollback re-tail runs under a FRESH checkpoint whose epochs
+        restart at 0, so the next stream must re-derive its mapping from
+        the restored fence (a stale offset would silently fence-drop or
+        double-apply).
+
+        Zero data I/O: like every commit, this writes one manifest and
+        swaps the pointer — restored files are referenced, never copied.
+        Fails loudly if vacuum already reclaimed any target file (tag the
+        restore point to exempt it from retention)."""
+        cur = self.snapshot()
+        target = self.snapshot(version)  # raises if manifest expired
+        if target.version == cur.version:
+            raise ValueError(f"already at v{cur.version}")
+        if target.version > cur.version:
+            raise ValueError(
+                f"cannot roll forward: v{target.version} > current v{cur.version}"
+            )
+        missing = [
+            e.path
+            for e in target.files + target.delta_files
+            if not os.path.exists(os.path.join(self.root, e.path))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"rollback to v{target.version} impossible: {len(missing)} data "
+                f"file(s) already vacuumed (first: {missing[0]}); tag restore "
+                "points to keep them live"
+            )
+        new_snap = self._child(target)
+        new_snap.version = cur.version + 1
+        new_snap.parent = cur.version
+        new_snap.properties = dict(target.properties)
+        new_snap.properties.pop("stream_epoch_offset", None)
+        new_snap.properties["rolled_back_from"] = str(cur.version)
+        new_snap.properties["restored_version"] = str(target.version)
+        self.log.commit(new_snap, expect_parent=cur.version)
+        return {
+            "version": new_snap.version,
+            "restored": target.version,
+            "rolled_back_from": cur.version,
+            "last_batch_id": new_snap.last_batch_id,
         }
