@@ -253,17 +253,27 @@ def bench_tail(spark) -> dict:
         finally:
             q.stop()
         wall = time.monotonic() - t0
+        applied_stats = [s for s in sink.applied if not s.get("skipped")]
+        # sink_ms is the stream's TRUE per-batch wait (merge + commit +
+        # any debt-triggered inline compaction); latency_ms (the metrics-
+        # table column) is stamped pre-commit and would understate it
         lats = sorted(
-            s["latency_ms"] for s in sink.applied
-            if not s.get("skipped") and "latency_ms" in s
+            s.get("sink_ms", s.get("latency_ms"))
+            for s in applied_stats
+            if s.get("sink_ms") or s.get("latency_ms")
         )
         if not lats:
             return {"error": "no batches applied"}
 
-        def pct(p: float) -> int:
-            return lats[min(len(lats) - 1, int(p * len(lats)))]
+        def pct(vals: list, p: float) -> int:
+            return vals[min(len(vals) - 1, int(p * len(vals)))]
 
-        applied_stats = [s for s in sink.applied if not s.get("skipped")]
+        # compaction batches pay a fold-down the steady-state batches
+        # don't; report them separately so the p95 is attributable
+        steady = sorted(
+            s["sink_ms"] for s in applied_stats
+            if "sink_ms" in s and not s.get("compacted")
+        )
         return {
             "batches": len(lats),
             "events": n_events,
@@ -274,9 +284,11 @@ def bench_tail(spark) -> dict:
                 for m in ("mor", "cow")
             },
             "compactions": sum(1 for s in applied_stats if s.get("compacted")),
-            "batch_latency_ms_p50": pct(0.50),
-            "batch_latency_ms_p95": pct(0.95),
+            "batch_latency_ms_p50": pct(lats, 0.50),
+            "batch_latency_ms_p95": pct(lats, 0.95),
             "batch_latency_ms_max": lats[-1],
+            "steady_batch_ms_p50": pct(steady, 0.50) if steady else None,
+            "steady_batch_ms_p95": pct(steady, 0.95) if steady else None,
             "drain_sec": round(wall, 3),
             "events_per_sec": round(n_events / wall, 1),
         }

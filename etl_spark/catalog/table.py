@@ -59,6 +59,17 @@ ENVELOPE_COLUMNS = {"seq", "part_id", "op", "ts", "extra"}
 SYSTEM = {"_ingest_seq", "_batch_id", "_deleted", "bucket"}
 
 
+def _apply_props(props: dict, updates: dict | None) -> None:
+    """Apply a set_properties dict: a None value DELETES the key (used by
+    the streaming sink to atomically retire a predecessor checkpoint's
+    epoch-offset mapping in the same commit that installs its own)."""
+    for k, v in (updates or {}).items():
+        if v is None:
+            props.pop(k, None)
+        else:
+            props[k] = v
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -147,8 +158,15 @@ class LakeTable:
         tag is a durable restore point for ``rollback``/time travel."""
         if version is None:
             version = self.log.current_version()
-        elif version not in self.history():
-            raise KeyError(f"no snapshot v{version}")
+        elif (
+            version not in self.history()
+            or version > self.log.current_version()
+        ):
+            # history() lists stale above-current v-files from crashed
+            # commits; tagging one would pin never-committed state that
+            # vacuum still removes (dangling tag) — only committed
+            # versions are taggable
+            raise KeyError(f"no committed snapshot v{version}")
         tags = self.log.read_tags()
         tags[name] = int(version)
         self.log.write_tags(tags)
@@ -418,7 +436,7 @@ class LakeTable:
             # all-duplicate batch: still commit the fence so replay skips it
             new = self._child(snap)
             new.last_batch_id = batch_id
-            new.properties.update(set_properties or {})
+            _apply_props(new.properties, set_properties)
             self._write_metrics(batch_id, [], t0)  # before commit: see below
             self.log.commit(new, expect_parent=snap.version)
             return {"batch_id": batch_id, "events": 0, "skipped": False}
@@ -618,7 +636,7 @@ class LakeTable:
         new_snap.properties["total_events"] = str(
             int(snap.properties.get("total_events", "0")) + n_events
         )
-        new_snap.properties.update(set_properties or {})
+        _apply_props(new_snap.properties, set_properties)
         # metrics BEFORE the snapshot commit: the file is named by batch
         # id (idempotent overwrite on replay), so a crash between the
         # two leaves either a harmless orphan metrics file (batch will
@@ -1245,8 +1263,14 @@ class LakeTable:
         new_snap = self._child(target)
         new_snap.version = cur.version + 1
         new_snap.parent = cur.version
-        new_snap.properties = dict(target.properties)
-        new_snap.properties.pop("stream_epoch_offset", None)
+        new_snap.properties = {
+            k: v
+            for k, v in target.properties.items()
+            # every stream mapping (legacy global or per-query-id key):
+            # a post-rollback re-tail must re-derive from the restored
+            # fence, and the restored properties may predate the stream
+            if not k.startswith("stream_epoch_offset")
+        }
         new_snap.properties["rolled_back_from"] = str(cur.version)
         new_snap.properties["restored_version"] = str(target.version)
         self.log.commit(new_snap, expect_parent=cur.version)

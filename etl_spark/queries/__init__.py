@@ -66,16 +66,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def resolved_oracles(oracles: dict) -> dict[str, str]:
+def resolved_oracles(oracles: dict, strict: bool = False) -> dict[str, str]:
     """Materialize an oracle dict: call lazy generators, drop entries that
     fail or return None (the query degrades to the driver's rows-only
-    check instead of failing hard — e.g. testdata missing on this host)."""
+    check instead of failing hard — e.g. testdata missing on this host).
+
+    ``strict=True`` re-raises generator failures instead of dropping —
+    the LOCAL parity suite uses it so a broken generator fails the test
+    loudly rather than silently demoting its query to a rows-only check
+    (the driver keeps the lenient default: degraded beats crashed there)."""
     out: dict[str, str] = {}
     for name, spec in oracles.items():
         if callable(spec):
             try:
                 spec = spec()
             except Exception:
+                if strict:
+                    raise
                 spec = None
         if spec is not None:
             out[name] = spec

@@ -484,7 +484,20 @@ def ivf_kmeans_oracle_for(sf_dir: str, n_cells: int = 16, n_probe: int = 4, k: i
     sample + seeded Lloyd — bit-equality of the Spark and Spark-free fits
     is pinned by tests), so they are embedded as DOUBLE[] literals and
     cell assignment becomes the same (dot desc, cell asc) ordering the
-    Spark fold expressions compute."""
+    Spark fold expressions compute.
+
+    Only valid for the fold-expression assignment path: above
+    ``literal_max_cells`` (64) ``ivf_topk`` switches to the BLAS matmul
+    whose float-summation ORDER differs from DuckDB's strict-left-fold
+    ``list_dot_product`` — a near-tie between two cells could then
+    assign differently and hash-fail a correct query, so oracle
+    generation refuses rather than silently diverging (r4 review)."""
+    if n_cells > 64:
+        raise ValueError(
+            f"IVF oracle is only bit-reproducible on the fold path "
+            f"(n_cells <= 64, got {n_cells}); the matmul path's summation "
+            "order diverges from list_dot_product on near-ties"
+        )
     cents = similarity.fit_centroids_local(
         f"{sf_dir}/embeddings.parquet", n_cells=n_cells
     )

@@ -12,7 +12,9 @@ commit protocol is single-threaded by construction.
 
 from __future__ import annotations
 
+import json
 import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,12 +33,42 @@ class CdcSink:
         delivery: str = "ordered",
         nfc: bool = True,
         auto_promote_extra: bool = True,
+        checkpoint_dir: str | None = None,
     ):
         self.table = table
         self.delivery = delivery
         self.nfc = nfc
         self.auto_promote_extra = auto_promote_extra
+        self.checkpoint_dir = checkpoint_dir
         self.applied: list[dict] = []  # per-batch stats (driver-side diag)
+        # hot-path caches (single-writer model: this sink owns the table
+        # while its query runs, so locally tracked metadata cannot go
+        # stale).  Both rebuild from one snapshot load on the first batch
+        # after any restart; steady-state batches then read NO manifest
+        # in the sink — apply_batch's own snapshot load is the only
+        # per-batch metadata I/O (r4 review: three full manifest+shard
+        # loads per micro-batch on the streaming hot path).
+        self._offset: int | None = None
+        self._extra_cols: list[str] | None = None
+        self._stream_id: str | None = None
+
+    def _offset_key(self) -> str:
+        """Table-property key for this stream's epoch→batch-id offset.
+
+        Keyed by the streaming query's STABLE id (persisted by Spark in
+        ``<checkpoint>/metadata``; unchanged across restarts of the same
+        checkpoint, fresh for a new checkpoint).  An UNkeyed persisted
+        offset made the second fresh checkpoint over a table silently
+        lossy: its epochs restart at 0, the stale offset mapped new
+        segments below the fence, and they were dropped as replays
+        (r4 review).  Keying by query id gives each checkpoint
+        generation its own mapping, derived once from the fence."""
+        if self.checkpoint_dir is None:
+            return "stream_epoch_offset"
+        if self._stream_id is None:
+            with open(os.path.join(self.checkpoint_dir, "metadata")) as f:
+                self._stream_id = str(json.load(f)["id"])
+        return f"stream_epoch_offset.{self._stream_id}"
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
         # Streaming epochs restart at 0 under a FRESH checkpoint, but the
@@ -48,15 +80,32 @@ class CdcSink:
         # epoch), committed atomically WITH the first batch, stable
         # across restarts and re-deliveries (same epoch -> same id ->
         # fence works exactly as before).
-        snap = self.table.snapshot()
-        off_prop = snap.properties.get("stream_epoch_offset")
         set_props = None
-        if off_prop is None:
-            offset = snap.last_batch_id + 1 - batch_id
-            set_props = {"stream_epoch_offset": str(offset)}
-        else:
-            offset = int(off_prop)
-        batch_id = batch_id + offset
+        if self._offset is None:
+            snap = self.table.snapshot()
+            key = self._offset_key()
+            off_prop = snap.properties.get(key)
+            if off_prop is None:
+                self._offset = snap.last_batch_id + 1 - batch_id
+                # this stream's mapping REPLACES any predecessor's: a
+                # stale mapping must never be consulted again, so prior
+                # stream_epoch_offset* properties are deleted (None
+                # value) in the same atomic commit.  If Spark re-delivers
+                # an epoch the old mapping already applied, the new
+                # mapping assigns it a fresh id above the fence and the
+                # re-merge is a no-op by LWW/admission idempotence.
+                set_props = {
+                    k: None
+                    for k in snap.properties
+                    if k.startswith("stream_epoch_offset")
+                }
+                set_props[key] = str(self._offset)
+            else:
+                self._offset = int(off_prop)
+            self._extra_cols = [
+                c for c in snap.columns if c not in TABLE_COLUMNS
+            ]
+        batch_id = batch_id + self._offset
         # JSONL source: rejects (unparseable lines, null-envelope rows)
         # are retained under <table>/quarantine/ and counted — never
         # silently dropped, never merged
@@ -67,11 +116,13 @@ class CdcSink:
         # lowers files.maxPartitionBytes, and event segments are written
         # with small parquet row groups) — no repartition here: the data
         # path's only pre-merge shuffle is the LWW window itself.
-        # additive schema evolution: already-promoted columns (from the
-        # snapshot) + any new extra keys observed in this batch
-        already = [c for c in self.table.snapshot().columns if c not in TABLE_COLUMNS]
+        # additive schema evolution: already-promoted columns (tracked
+        # locally; seeded from the snapshot on the first batch) + any new
+        # extra keys observed in this batch
         new = observed_extra_keys(batch_df) if self.auto_promote_extra else []
-        promoted = already + [k for k in new if k not in already]
+        promoted = list(self._extra_cols) + [
+            k for k in new if k not in self._extra_cols
+        ]
 
         def canon(df: DataFrame) -> DataFrame:
             c = canonicalize(df, nfc=self.nfc)
@@ -79,10 +130,16 @@ class CdcSink:
 
         # canonicalize runs inside apply_batch AFTER LWW dedup — the
         # normalize/NFC/sha256 pipeline prices winning keys, not events
+        t_apply = time.monotonic()
         stats = self.table.apply_batch(
             batch_df, batch_id, delivery=self.delivery, canonicalizer=canon,
             set_properties=set_props,
         )
+        self._extra_cols = promoted  # committed (or already known) now
+        # end-to-end apply wall clock: the table's own latency_ms is
+        # stamped BEFORE the snapshot commit and any debt-triggered
+        # compaction, so it understates what the stream actually waited
+        stats["sink_ms"] = int((time.monotonic() - t_apply) * 1000)
         stats["quarantined"] = quarantined
         self.applied.append(stats)
         if len(self.applied) > 10_000:  # tail mode runs forever; diag only
@@ -92,11 +149,19 @@ class CdcSink:
         """Split rejects out of a JSON micro-batch: the raw line (or the
         re-serialized row, for parseable-but-keyless objects) lands in
         ``<table>/quarantine/batch-<id>/`` with a reason column — file
-        named by batch id, so re-delivery overwrites idempotently.  The
-        count comes from the written files' footers (one metadata-only
-        read), not a second parse of the JSON batch; rejects are
-        exceptional, so the extra write job is usually empty-input."""
+        named by batch id, so re-delivery overwrites idempotently.
+
+        Steady-state cost is ONE narrow count job per micro-batch (the
+        zero-reject common case); the quarantine write job runs only
+        when that count is non-zero, so a clean long-running tail adds
+        neither a per-batch write nor an empty batch directory
+        (r4 review: the unconditional write+read-back was two fixed-cost
+        jobs per batch and leaked one empty dir per batch forever)."""
         bad_cond = reject_condition()
+        n = int(batch_df.filter(bad_cond).count())
+        good = batch_df.filter(~bad_cond).drop("_corrupt_record")
+        if n == 0:
+            return good, 0
         qdir = os.path.join(
             self.table.root, "quarantine", f"batch-{batch_id:08d}"
         )
@@ -117,6 +182,4 @@ class CdcSink:
             .write.mode("overwrite")
             .parquet(qdir)
         )
-        n = self.table.spark.read.parquet(qdir).count()
-        good = batch_df.filter(~bad_cond).drop("_corrupt_record")
-        return good, int(n)
+        return good, n

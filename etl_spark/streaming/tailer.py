@@ -30,10 +30,16 @@ def run_tailer(
     await_termination: bool = True,
     nfc: bool = True,
 ) -> tuple[StreamingQuery, CdcSink]:
+    # drop_rejects=False: the CDC boundary retains malformed rows in the
+    # table's quarantine/ (counted in sink stats) instead of the source's
+    # default drop — the sink owns the reject policy here
     stream = read_event_stream(
-        table.spark, event_dir, fmt=fmt, max_files_per_trigger=max_files_per_trigger
+        table.spark, event_dir, fmt=fmt,
+        max_files_per_trigger=max_files_per_trigger, drop_rejects=False,
     )
-    sink = CdcSink(table, delivery=delivery, nfc=nfc)
+    sink = CdcSink(
+        table, delivery=delivery, nfc=nfc, checkpoint_dir=checkpoint_dir
+    )
     writer = (
         stream.writeStream.foreachBatch(sink.apply)
         .option("checkpointLocation", checkpoint_dir)

@@ -184,3 +184,15 @@ def test_view_survives_compaction(spark, tmp_path):
     t.compact()
     assert view.refresh()["mode"] == "incremental"
     assert _view_rows(view) == _full(t, ["repo"])
+
+
+def test_view_tracks_rollback(spark, tmp_path):
+    # a table rollback is just another changelog-visible transition: the
+    # view consumes the revert diff incrementally and matches a full
+    # recompute over the RESTORED state — no rebuild needed
+    view = _run(spark, tmp_path, ["repo"])
+    t = view.table
+    hist = t.history()
+    t.rollback(hist[-2])  # undo the last applied batch
+    assert view.refresh()["mode"] == "incremental"
+    assert _view_rows(view) == _full(t, ["repo"])

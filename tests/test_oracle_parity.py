@@ -58,13 +58,22 @@ TABLES = [
 # this test session runs at (the exported default targets the driver's
 # sf0.01).  Lazy oracle callables materialize here, exactly as
 # __spark_entry__.oracle_sql() materializes them for the driver.
-ORACLES = resolved_oracles(LOCAL_ORACLES)
+# strict: a generator failure here must FAIL the suite, not silently
+# demote its query to a rows-only check (r4 review)
+ORACLES = resolved_oracles(LOCAL_ORACLES, strict=True)
 ORACLES["ann_ivf_kmeans_topk"] = ivf_kmeans_oracle_for(SF_DIR)
 ORACLES["ann_pq_adc_topk"] = pq_adc_oracle_for(SF_DIR)
 
 QUERIES = LOCAL_QUERIES
 WITH_ORACLE = sorted(ORACLES)
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+def test_rows_only_set_is_exactly_the_documented_ones():
+    """Every query except these two local-only seeded-LSH variants has a
+    value-exact oracle; any demotion (an oracle dropped or a new query
+    registered without one) must fail HERE, not degrade silently."""
+    assert ROWS_ONLY == ["ann_ivf_topk", "ann_random_hyperplane_buckets"]
 
 
 @pytest.fixture(scope="module")

@@ -185,6 +185,20 @@ def test_tag_api_validates_and_drops(spark, tmp_path):
     t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
     with pytest.raises(KeyError):
         t.tag("ghost", version=999)
+    # a stale above-current v-file (crashed commit) is in history() but
+    # was never committed — tagging it would pin state vacuum still
+    # deletes (dangling tag), so it must be refused
+    import json
+
+    head = t.snapshot().version
+    with open(t.log._vpath(head)) as f:
+        stale = json.load(f)
+    stale["version"] = head + 3
+    with open(t.log._vpath(head + 3), "w") as f:
+        json.dump(stale, f)
+    with pytest.raises(KeyError, match="no committed"):
+        t.tag("stale", version=head + 3)
+    os.remove(t.log._vpath(head + 3))
     v = t.tag("a")
     assert t.tags() == {"a": v}
     assert t.snapshot("a").version == v

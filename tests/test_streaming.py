@@ -37,10 +37,56 @@ def test_streaming_replay_available_now(spark, tmp_path):
     q, sink = run_tailer(
         t, event_dir, str(tmp_path / "ckpt"), mode="replay", max_files_per_trigger=1
     )
-    assert len([s for s in sink.applied if not s.get("skipped")]) == 4
+    applied = [s for s in sink.applied if not s.get("skipped")]
+    assert len(applied) == 4
+    # every applied batch carries the end-to-end sink wall time (merge +
+    # commit + any inline compaction) — the tail bench's latency source
+    assert all(s.get("sink_ms", 0) > 0 for s in applied)
     _assert_state_equal(_final_state(t), replay_events(ev.toPandas()))
     # watermarks cover every partition
     assert set(t.snapshot().wm()) == {0, 1, 2, 3}
+
+
+def test_second_fresh_checkpoint_ingests_new_segments(spark, tmp_path):
+    """The epoch→batch-id offset is keyed by the streaming query's id: a
+    SECOND fresh checkpoint must derive its own mapping from the fence
+    instead of reusing the first checkpoint's persisted offset — which
+    mapped new segments below the fence and silently dropped them (an
+    epoch can bundle an old segment WITH a brand-new one)."""
+    ev = events_df(spark, 900, n_repos=8, paths_per_repo=20)
+    event_dir = str(tmp_path / "events")
+    # segments 0..2 arrive first; segment 3 lands after checkpoint loss
+    write_event_batches(ev.filter(F.col("seq") < 600), event_dir, n_batches=3)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8, salt=4)
+    run_tailer(t, event_dir, str(tmp_path / "ckptA"), mode="replay",
+               max_files_per_trigger=1)
+    # the offset persisted under a per-query key (not the legacy global)
+    props_a = t.snapshot().properties
+    assert any(k.startswith("stream_epoch_offset.") for k in props_a)
+    assert "stream_epoch_offset" not in props_a
+    write_event_batches(
+        ev.filter(F.col("seq") >= 600), event_dir + "-late", n_batches=1
+    )
+    import shutil as _sh
+
+    _sh.copy(
+        event_dir + "-late/batch-00000.parquet",
+        event_dir + "/batch-09999.parquet",
+    )
+    # checkpoint A is lost; a FRESH checkpoint re-drains everything with
+    # epochs restarting at 0, two files per epoch — the new segment
+    # shares an epoch with an already-applied one
+    run_tailer(t, event_dir, str(tmp_path / "ckptB"), mode="replay",
+               max_files_per_trigger=2)
+    _assert_state_equal(_final_state(t), replay_events(ev.toPandas()))
+    # checkpoint B's mapping REPLACED checkpoint A's (retired atomically
+    # with B's first commit) — exactly one live mapping at a time
+    keys_b = [
+        k for k in t.snapshot().properties
+        if k.startswith("stream_epoch_offset")
+    ]
+    keys_a = [k for k in props_a if k.startswith("stream_epoch_offset")]
+    assert len(keys_b) == 1 and keys_b != keys_a
 
 
 def test_streaming_replay_merge_on_read_auto(spark, tmp_path):
@@ -81,8 +127,8 @@ class _CrashingSink(CdcSink):
     driver death between table commit and Spark checkpoint commit (the
     worst window: Spark will re-deliver the batch on restart)."""
 
-    def __init__(self, table, crash_after: int):
-        super().__init__(table)
+    def __init__(self, table, crash_after: int, **kw):
+        super().__init__(table, **kw)
         self.crash_after = crash_after
 
     def apply(self, batch_df, batch_id):
@@ -102,7 +148,7 @@ def test_fixture5_resume_from_checkpoint(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     # phase 1: crash after 3 committed batches (post-commit, pre-checkpoint)
-    sink = _CrashingSink(t, crash_after=3)
+    sink = _CrashingSink(t, crash_after=3, checkpoint_dir=ckpt)
     stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
     q = (
         stream.writeStream.foreachBatch(sink.apply)
@@ -151,7 +197,13 @@ def test_fresh_tailer_on_backfilled_table_loses_nothing(spark, tmp_path):
     )
     applied = [s for s in sink.applied if not s.get("skipped")]
     assert [s["batch_id"] for s in applied] == [1, 2]  # nothing fenced away
-    assert t.snapshot().properties["stream_epoch_offset"] == "1"
+    # persisted under the streaming query's id (fresh checkpoints get
+    # their own mapping; same-checkpoint restarts reuse this one)
+    offsets = {
+        k: v for k, v in t.snapshot().properties.items()
+        if k.startswith("stream_epoch_offset")
+    }
+    assert list(offsets.values()) == ["1"]
     _assert_state_equal(_final_state(t), replay_events(ev.toPandas()))
 
     # late segment under the SAME checkpoint: offset comes from the

@@ -134,6 +134,15 @@ def test_jsonl_event_source_replay(spark, tmp_path):
     b = pq_table.read().select("repo", "path", "content_sha")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() > 0
+    # a clean stream must not litter quarantine/ with empty batch dirs
+    assert not os.path.exists(str(tmp_path / "t" / "quarantine"))
+    # standalone-consumer contract: the source DEFAULT drops rejects and
+    # never exposes the corrupt-record column (only the CDC tailer opts
+    # out to retain them in quarantine)
+    from etl_spark.sources.events import read_event_stream
+
+    plain = read_event_stream(spark, str(jdir), fmt="json")
+    assert "_corrupt_record" not in plain.columns
 
 
 def test_jsonl_malformed_lines_are_quarantined(spark, tmp_path):
