@@ -888,6 +888,68 @@ class LakeTable:
         mdir = os.path.join(self.root, "metrics")
         return self.spark.read.parquet(mdir)
 
+    def compact_metrics(self, keep_recent: int = 256) -> dict:
+        """Consolidate per-batch lineage files (maintenance).
+
+        Every batch writes one tiny ``metrics/batch-<id>.parquet`` — at
+        the 10^10-event design point that is millions of KB-sized files
+        and the lineage table becomes unreadable (listing cost) long
+        before it becomes large.  All but the newest ``keep_recent``
+        batch files fold into one ``span-<lo>-<hi>.parquet`` (ranges
+        never overlap, so successive maintenance runs add one span per
+        ~keep_recent batches — file count tracks log-ish, not batch
+        count).  Recent batches stay as per-batch files because replay
+        re-delivery overwrites them BY NAME (idempotence); batches at or
+        below a span's high end are final — the fence guarantees they
+        can never be re-merged — so folding them is safe.
+
+        Crash-safe: the span file lands by atomic rename BEFORE the
+        originals are removed; a crash in between leaves duplicates that
+        the next run's heal step removes (originals whose id falls
+        inside an existing span's range)."""
+        import re
+
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        mdir = os.path.join(self.root, "metrics")
+        if not os.path.isdir(mdir):
+            return {"consolidated": 0, "healed": 0}
+        spans = []  # (lo, hi)
+        batches = []  # (batch_id, filename)
+        for name in os.listdir(mdir):
+            m = re.fullmatch(r"batch-(\d+)\.parquet", name)
+            if m:
+                batches.append((int(m.group(1)), name))
+                continue
+            m = re.fullmatch(r"span-(\d+)-(\d+)\.parquet", name)
+            if m:
+                spans.append((int(m.group(1)), int(m.group(2))))
+        healed = 0
+        for bid, name in list(batches):
+            if any(lo <= bid <= hi for lo, hi in spans):
+                os.remove(os.path.join(mdir, name))  # crash leftover
+                batches.remove((bid, name))
+                healed += 1
+        batches.sort()
+        # never fold above the fence: a metrics file for an uncommitted
+        # batch is a pre-commit orphan that replay overwrites BY NAME
+        fence = self.snapshot().last_batch_id
+        foldable = [b for b in batches if b[0] <= fence]
+        if len(foldable) <= keep_recent:
+            return {"consolidated": 0, "healed": healed}
+        fold = foldable[:-keep_recent] if keep_recent > 0 else foldable
+        tables = [
+            _pq.read_table(os.path.join(mdir, name)) for _, name in fold
+        ]
+        lo, hi = fold[0][0], fold[-1][0]
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        _pq.write_table(pa.concat_tables(tables), tmp)
+        os.replace(tmp, os.path.join(mdir, f"span-{lo:08d}-{hi:08d}.parquet"))
+        for _, name in fold:
+            os.remove(os.path.join(mdir, name))
+        return {"consolidated": len(fold), "healed": healed, "span": (lo, hi)}
+
     def stats(self) -> dict:
         """Manifest-derived table statistics — makes copy-on-write
         amplification and bucket balance measurable (no data scan).
@@ -1088,16 +1150,21 @@ class LakeTable:
         removed = self.vacuum(
             retain_versions=retain_versions, stale_grace_sec=stale_grace_sec
         )
+        mstats = self.compact_metrics()
         return {
             "compacted": did_compact,
             "files_before": len(snap.files),
             "delta_rows_folded": delta_rows if did_compact else 0,
             "files_now": len(self.snapshot().files),
             "orphans_removed": len(removed),
+            "metrics_consolidated": mstats.get("consolidated", 0),
         }
 
     def vacuum(
-        self, retain_versions: int = 2, stale_grace_sec: float = 600.0
+        self,
+        retain_versions: int = 2,
+        stale_grace_sec: float = 600.0,
+        quarantine_retain_batches: int = 1024,
     ) -> list[str]:
         """Expire old snapshots and delete unreferenced (orphan) data files.
 
@@ -1161,6 +1228,25 @@ class LakeTable:
             if ".tmp-" in name and expired(fp):
                 os.remove(fp)
                 removed.append(os.path.join("meta", name))
+        # quarantine retention: reject dirs are forensic evidence with a
+        # bounded shelf life — once the fence is quarantine_retain_batches
+        # past a batch, its rejects expire (they would otherwise
+        # accumulate one dir per dirty batch forever; data/ vacuuming
+        # never touches them)
+        qroot = os.path.join(self.root, "quarantine")
+        if os.path.isdir(qroot) and quarantine_retain_batches >= 0:
+            fence = self.snapshot(cur).last_batch_id
+            for name in sorted(os.listdir(qroot)):
+                if not name.startswith("batch-"):
+                    continue
+                try:
+                    bid = int(name.split("-", 1)[1])
+                except ValueError:
+                    continue
+                qdir = os.path.join(qroot, name)
+                if bid <= fence - quarantine_retain_batches and expired(qdir):
+                    shutil.rmtree(qdir, ignore_errors=True)
+                    removed.append(os.path.join("quarantine", name))
         # content-addressed manifest shards referenced by no kept snapshot
         shards_dir = self.log.shards_dir
         if os.path.isdir(shards_dir):

@@ -348,3 +348,68 @@ def test_stage_mediums_produce_identical_state(spark, tmp_path):
     a, b = states["ckpt"], states["parquet"]
     assert a.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_metrics_compaction_consolidates_and_heals(spark, tmp_path):
+    """Per-batch lineage files fold into span files (file count must
+    track maintenance cadence, not batch count at 10^10 scale), with
+    identical metrics content; a crash between span rename and original
+    deletion self-heals on the next run."""
+    import shutil as _sh
+
+    t, ev = _mk(spark, tmp_path)
+    for b in range(5):
+        chunk = ev.filter(
+            (F.col("seq") >= b * 80) & (F.col("seq") < (b + 1) * 80)
+        )
+        t.apply_batch(canonicalize(chunk), b)
+    mdir = os.path.join(t.root, "metrics")
+    before = sorted(
+        map(tuple, t.metrics().select("batch_id", "part_id", "rows_applied").collect())
+    )
+    res = t.compact_metrics(keep_recent=2)
+    assert res["consolidated"] == 3 and res["span"] == (0, 2)
+    names = sorted(os.listdir(mdir))
+    assert names == [
+        "batch-00000003.parquet",
+        "batch-00000004.parquet",
+        "span-00000000-00000002.parquet",
+    ]
+    after = sorted(
+        map(tuple, t.metrics().select("batch_id", "part_id", "rows_applied").collect())
+    )
+    assert after == before  # lossless fold
+    # crash simulation: an original inside the span range reappears
+    # (rename happened, deletes didn't) -> next run heals it away
+    _sh.copy(
+        os.path.join(mdir, "batch-00000004.parquet"),
+        os.path.join(mdir, "batch-00000001.parquet"),
+    )
+    res2 = t.compact_metrics(keep_recent=2)
+    assert res2["healed"] == 1 and res2["consolidated"] == 0
+    assert sorted(
+        map(tuple, t.metrics().select("batch_id", "part_id", "rows_applied").collect())
+    ) == before
+    # idempotent once steady
+    assert t.compact_metrics(keep_recent=2) == {"consolidated": 0, "healed": 0}
+
+
+def test_vacuum_expires_old_quarantine_dirs(spark, tmp_path):
+    """Quarantined reject dirs expire once the fence is far enough past
+    them (bounded forensic shelf life; data/ vacuuming never walks
+    quarantine/)."""
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 1)
+    qroot = os.path.join(t.root, "quarantine")
+    for bid in (0, 1):
+        qdir = os.path.join(qroot, f"batch-{bid:08d}")
+        os.makedirs(qdir)
+        with open(os.path.join(qdir, "part-0.parquet"), "w") as f:
+            f.write("x")
+    removed = t.vacuum(
+        retain_versions=2, stale_grace_sec=0, quarantine_retain_batches=1
+    )
+    assert os.path.join("quarantine", "batch-00000000") in removed
+    assert not os.path.exists(os.path.join(qroot, "batch-00000000"))
+    assert os.path.exists(os.path.join(qroot, "batch-00000001"))  # retained
