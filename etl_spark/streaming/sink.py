@@ -34,12 +34,20 @@ class CdcSink:
         nfc: bool = True,
         auto_promote_extra: bool = True,
         checkpoint_dir: str | None = None,
+        views: list | None = None,
     ):
         self.table = table
         self.delivery = delivery
         self.nfc = nfc
         self.auto_promote_extra = auto_promote_extra
         self.checkpoint_dir = checkpoint_dir
+        # IncrementalViews maintained inside the streaming loop: each is
+        # refreshed after every committed micro-batch, so downstream
+        # rollups lag the table by at most one trigger.  View state is
+        # checkpointed independently (its own meta.json) — a crash
+        # between table commit and view refresh is healed by the next
+        # refresh consuming the missed changelog range.
+        self.views = list(views or [])
         self.applied: list[dict] = []  # per-batch stats (driver-side diag)
         # hot-path caches (single-writer model: this sink owns the table
         # while its query runs, so locally tracked metadata cannot go
@@ -141,6 +149,12 @@ class CdcSink:
         # compaction, so it understates what the stream actually waited
         stats["sink_ms"] = int((time.monotonic() - t_apply) * 1000)
         stats["quarantined"] = quarantined
+        if self.views and not stats.get("skipped"):
+            t_views = time.monotonic()
+            stats["views"] = [v.refresh()["mode"] for v in self.views]
+            stats["view_refresh_ms"] = int(
+                (time.monotonic() - t_views) * 1000
+            )
         self.applied.append(stats)
         if len(self.applied) > 10_000:  # tail mode runs forever; diag only
             del self.applied[: -5_000]

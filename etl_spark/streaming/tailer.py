@@ -29,6 +29,7 @@ def run_tailer(
     processing_interval: str = "5 seconds",
     await_termination: bool = True,
     nfc: bool = True,
+    views: list | None = None,
 ) -> tuple[StreamingQuery, CdcSink]:
     # drop_rejects=False: the CDC boundary retains malformed rows in the
     # table's quarantine/ (counted in sink stats) instead of the source's
@@ -38,7 +39,8 @@ def run_tailer(
         max_files_per_trigger=max_files_per_trigger, drop_rejects=False,
     )
     sink = CdcSink(
-        table, delivery=delivery, nfc=nfc, checkpoint_dir=checkpoint_dir
+        table, delivery=delivery, nfc=nfc, checkpoint_dir=checkpoint_dir,
+        views=views,
     )
     writer = (
         stream.writeStream.foreachBatch(sink.apply)

@@ -196,3 +196,28 @@ def test_view_tracks_rollback(spark, tmp_path):
     t.rollback(hist[-2])  # undo the last applied batch
     assert view.refresh()["mode"] == "incremental"
     assert _view_rows(view) == _full(t, ["repo"])
+
+
+def test_view_maintained_inside_streaming_tailer(spark, tmp_path):
+    """Views passed to the tailer refresh after every committed
+    micro-batch (full build on the first, incremental after), so
+    downstream rollups lag the table by at most one trigger — and a
+    crash-resumed stream heals the view through the changelog."""
+    from etl_spark.fixtures import write_event_batches
+    from etl_spark.streaming.tailer import run_tailer
+
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4, salt=2)
+    view = IncrementalView(t, str(tmp_path / "view"), ["repo"], _measures)
+    ev = events_df(spark, 600, n_repos=5, paths_per_repo=10, delete_pct=10)
+    event_dir = str(tmp_path / "events")
+    write_event_batches(ev, event_dir, n_batches=3)
+    _q, sink = run_tailer(
+        t, event_dir, str(tmp_path / "ckpt"), mode="replay",
+        max_files_per_trigger=1, views=[view],
+    )
+    applied = [s for s in sink.applied if not s.get("skipped")]
+    assert [s["views"] for s in applied] == [
+        ["full"], ["incremental"], ["incremental"]
+    ]
+    assert all(s["view_refresh_ms"] >= 0 for s in applied)
+    assert _view_rows(view) == _full(t, ["repo"])
