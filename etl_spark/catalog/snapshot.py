@@ -71,6 +71,11 @@ class Snapshot:
     repo_stats: dict[str, int] = field(default_factory=dict)  # top-K cumulative event counts
     parent: int | None = None
     properties: dict[str, str] = field(default_factory=dict)
+    # commit audit metadata (Iceberg snapshot-summary / Delta history
+    # analog): what produced this snapshot and when.  Absent in
+    # pre-existing manifests (defaults apply on read).
+    op: str = ""
+    ts: float = 0.0
 
     def wm(self) -> dict[int, int]:
         return {int(k): int(v) for k, v in self.watermarks.items()}
@@ -86,6 +91,8 @@ class Snapshot:
         # manifests written before the merge-on-read feature lack the key
         d["delta_files"] = [FileEntry(**f) for f in d.get("delta_files", [])]
         d.setdefault("file_shards", [])
+        d.setdefault("op", "")
+        d.setdefault("ts", 0.0)
         return Snapshot(**d)
 
 

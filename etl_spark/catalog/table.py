@@ -106,6 +106,8 @@ class LakeTable:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         snap = Snapshot(
             version=0,
+            op="create",
+            ts=time.time(),
             schema_version=0,
             columns=list(TABLE_COLUMNS),
             n_buckets=n_buckets,
@@ -148,6 +150,56 @@ class LakeTable:
 
     def history(self) -> list[int]:
         return self.log.history()
+
+    def describe_history(self) -> DataFrame:
+        """Commit audit trail (Delta ``DESCRIBE HISTORY`` / Iceberg
+        snapshot-summary analog): one row per retained snapshot with the
+        operation that produced it, commit wall time, fence, and file
+        counts.  Driver-side O(retained versions) manifest reads — an
+        audit/maintenance API, not a data path (vacuum bounds it)."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        cur = self.log.current_version()
+        rows = []
+        for v in self.history():
+            if v > cur:
+                continue  # stale above-pointer leftovers are not commits
+            s = self.snapshot(v)
+            rows.append(
+                (
+                    v,
+                    s.parent,
+                    s.op,
+                    float(s.ts),
+                    s.last_batch_id,
+                    s.schema_version,
+                    len(s.files),
+                    len(s.delta_files),
+                    sum(e.rows for e in s.files),
+                    s.properties.get("restored_version"),
+                )
+            )
+        schema = StructType(
+            [
+                StructField("version", LongType(), False),
+                StructField("parent", LongType(), True),
+                StructField("op", StringType(), False),
+                StructField("ts", DoubleType(), False),
+                StructField("last_batch_id", LongType(), False),
+                StructField("schema_version", LongType(), False),
+                StructField("n_files", LongType(), False),
+                StructField("n_delta_files", LongType(), False),
+                StructField("rows", LongType(), False),
+                StructField("restored_version", StringType(), True),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     # ------------------------------------------------------------------ #
     # named refs (Iceberg tag analog)
@@ -435,6 +487,7 @@ class LakeTable:
         if n_events == 0:
             # all-duplicate batch: still commit the fence so replay skips it
             new = self._child(snap)
+            new.op = "fence"
             new.last_batch_id = batch_id
             _apply_props(new.properties, set_properties)
             self._write_metrics(batch_id, [], t0)  # before commit: see below
@@ -629,6 +682,7 @@ class LakeTable:
         else:
             new_snap.files = carried + new_entries
             new_snap.delta_files = carried_delta
+        new_snap.op = "merge-mor" if use_mor else "merge-cow"
         new_snap.last_batch_id = batch_id
         new_snap.watermarks = {
             str(k): v for k, v in merge_watermarks(snap.wm(), batch_wm).items()
@@ -851,6 +905,8 @@ class LakeTable:
         child = Snapshot.from_json(snap.to_json())
         child.version = snap.version + 1
         child.parent = snap.version
+        child.op = ""  # commit sites stamp their operation
+        child.ts = time.time()
         return child
 
     def _write_metrics(self, batch_id: int, part_rows, t0: float) -> int:
@@ -1294,6 +1350,7 @@ class LakeTable:
         new_entries = self._scan_written(rel_dir)
         new_snap.files = new_entries
         new_snap.delta_files = []
+        new_snap.op = "compact"
         self.log.commit(new_snap, expect_parent=snap.version)
         return {
             "files_before": len(snap.files),
@@ -1349,6 +1406,7 @@ class LakeTable:
         new_snap = self._child(target)
         new_snap.version = cur.version + 1
         new_snap.parent = cur.version
+        new_snap.op = "rollback"
         new_snap.properties = {
             k: v
             for k, v in target.properties.items()

@@ -413,3 +413,26 @@ def test_vacuum_expires_old_quarantine_dirs(spark, tmp_path):
     assert os.path.join("quarantine", "batch-00000000") in removed
     assert not os.path.exists(os.path.join(qroot, "batch-00000000"))
     assert os.path.exists(os.path.join(qroot, "batch-00000001"))  # retained
+
+
+def test_describe_history_audit_trail(spark, tmp_path):
+    """Every commit records its operation + wall time: the audit trail a
+    production table needs to answer 'what produced v7 and when'."""
+    # high debt cap: the MoR batch must not trigger an extra auto-compact
+    # commit (that would add its own history row)
+    t, ev = _mk(spark, tmp_path, mor_compact_ratio=100.0)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 1, mode="mor")
+    t.compact()
+    t.rollback(t.history()[1])
+    h = t.describe_history().orderBy("version").collect()
+    assert [r["op"] for r in h] == [
+        "create", "merge-cow", "merge-mor", "compact", "rollback"
+    ]
+    assert all(r["ts"] > 0 for r in h)
+    assert h[-1]["restored_version"] == str(h[1]["version"])
+    assert h[-1]["rows"] == h[1]["rows"]
+    # fence advance on an all-duplicate batch is itself audited
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 5)
+    ops = [r["op"] for r in t.describe_history().orderBy("version").collect()]
+    assert ops[-1] == "fence"
