@@ -99,6 +99,7 @@ class LakeTable:
         manifest_shard_min_files: int = 4096,
         manifest_shard_buckets: int = 16,
         stage_small_rows: int = 25_000,
+        max_file_bytes: int = 512 << 20,
     ) -> "LakeTable":
         t = cls(spark, root)
         if t.log.exists():
@@ -126,6 +127,7 @@ class LakeTable:
                 "manifest_shard_min_files": str(manifest_shard_min_files),
                 "manifest_shard_buckets": str(manifest_shard_buckets),
                 "stage_small_rows": str(stage_small_rows),
+                "max_file_bytes": str(max_file_bytes),
                 "total_events": "0",
             },
         )
@@ -633,7 +635,26 @@ class LakeTable:
         # shuffle was measured cheap, but it let file scans mix buckets
         # across source files, progressively widening every file's
         # claimed bucket span.
-        npart = max(1, min(len(touched), 2048))
+        # bounded file sizes: a fat bucket must never become one enormous
+        # data file (at 10^10-event scale a bucket can be 100s of GB; a
+        # single file per bucket would defeat scan parallelism limits,
+        # retries, and object-store sanity).  Fat buckets split into
+        # path-hash slices of ~max_file_bytes each — still one BUCKET per
+        # file (partitionBy below), just several files per fat bucket.
+        max_fb = int(snap.properties.get("max_file_bytes", str(512 << 20)))
+        bytes_by_bucket: dict[int, int] = {}
+        for r in bucket_rows:  # delta contribution (uncompressed estimate
+            # — conservative: overestimates slice counts, never under)
+            bytes_by_bucket[int(r["bucket"])] = (
+                bytes_by_bucket.get(int(r["bucket"]), 0) + int(r["bytes"] or 0)
+            )
+        if not use_mor:
+            for e in slice_base + slice_delta:
+                share = e.bytes // max(1, len(e.buckets))
+                for b in e.buckets:
+                    bytes_by_bucket[b] = bytes_by_bucket.get(b, 0) + share
+        slice_expr, extra_parts = self._file_slice_expr(bytes_by_bucket, max_fb)
+        npart = max(1, min(len(touched) + extra_parts, 2048))
         if use_mor:
             strategy = "mor-delta"
             merged = delta_rows
@@ -664,8 +685,10 @@ class LakeTable:
 
         merged = (
             merged.withColumn("bucket", bexpr)
-            .repartition(npart, "bucket")
+            .withColumn("_slice", slice_expr)
+            .repartition(npart, "bucket", "_slice")
             .sortWithinPartitions("repo", "path")
+            .drop("_slice")
         )
 
         # -- write new data files -----------------------------------------
@@ -900,6 +923,36 @@ class LakeTable:
                 )
             )
         return sorted(entries, key=lambda e: e.path)
+
+    def _file_slice_expr(self, bytes_by_bucket: dict[int, int], max_bytes: int):
+        """Column splitting fat buckets into ~max_bytes file slices.
+
+        Returns ``(expr, extra_partitions)``: for every bucket whose
+        estimated bytes exceed ``max_bytes``, rows get a path-hash slice
+        id in [0, k) with k = ceil(bytes/max_bytes); all other rows get
+        slice 0.  Partitioning on (bucket, slice) then writing
+        ``partitionBy("bucket")`` keeps every file single-bucket while
+        bounding its size.  The bound is probabilistic under hash
+        collisions of (bucket, slice) groups into shuffle partitions —
+        colliding slices of one bucket share a file — which at most
+        doubles a file, never recreates the unbounded case."""
+        ks = {
+            b: -(-by // max_bytes)
+            for b, by in bytes_by_bucket.items()
+            if by > max_bytes
+        }
+        if not ks:
+            return F.lit(0), 0
+        expr = F.lit(0)
+        for b, k in sorted(ks.items()):
+            expr = (
+                F.when(
+                    F.col("bucket") == b,
+                    F.pmod(F.xxhash64(F.col("path")), F.lit(k)).cast("int"),
+                )
+                .otherwise(expr)
+            )
+        return expr, sum(ks.values()) - len(ks)
 
     def _child(self, snap: Snapshot) -> Snapshot:
         child = Snapshot.from_json(snap.to_json())
@@ -1339,10 +1392,33 @@ class LakeTable:
             if n_buckets is None
             else n_buckets + len(new_snap.hot_repos) * new_snap.salt
         )
+        # bounded file sizes (same contract as the merge write): fat
+        # buckets split into ~max_file_bytes slices.  Under a rescale the
+        # old per-bucket byte map doesn't apply to the NEW layout — slice
+        # uniformly from the total instead (hash layouts spread evenly).
+        max_fb = int(snap.properties.get("max_file_bytes", str(512 << 20)))
+        total_bytes = sum(e.bytes for e in snap.files + snap.delta_files)
+        if n_buckets is None:
+            bb: dict[int, int] = {}
+            for e in snap.files + snap.delta_files:
+                share = e.bytes // max(1, len(e.buckets))
+                for b in e.buckets:
+                    bb[b] = bb.get(b, 0) + share
+            slice_expr, extra = self._file_slice_expr(bb, max_fb)
+        else:
+            k = max(1, -(-total_bytes // (n_out * max_fb)))
+            slice_expr = (
+                F.pmod(F.xxhash64(F.col("path")), F.lit(k)).cast("int")
+                if k > 1
+                else F.lit(0)
+            )
+            extra = n_out * (k - 1)
         rel_dir = os.path.join("data", f"compact-{uuid.uuid4().hex[:8]}")
         (
-            df.repartition(n_out, "bucket")
+            df.withColumn("_slice", slice_expr)
+            .repartition(n_out + extra, "bucket", "_slice")
             .sortWithinPartitions("repo", "path")
+            .drop("_slice")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(self.root, rel_dir))

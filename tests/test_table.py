@@ -436,3 +436,39 @@ def test_describe_history_audit_trail(spark, tmp_path):
     t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 5)
     ops = [r["op"] for r in t.describe_history().orderBy("version").collect()]
     assert ops[-1] == "fence"
+
+
+def test_max_file_bytes_bounds_data_file_sizes(spark, tmp_path):
+    """A fat bucket must split into several ~max_file_bytes files (each
+    still single-bucket) instead of one enormous file — both on the
+    merge write and on compaction; state and pruned reads unchanged."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), n_buckets=2, salt=1,
+        max_file_bytes=16 * 1024,
+    )
+    ev = events_df(spark, 800, n_repos=3, paths_per_repo=100)
+    t.apply_batch(canonicalize(ev), 0)
+    snap = t.snapshot()
+    per_bucket: dict[int, int] = {}
+    for e in snap.files:
+        assert len(e.buckets) == 1  # slicing never mixes buckets in a file
+        per_bucket[e.buckets[0]] = per_bucket.get(e.buckets[0], 0) + 1
+    assert max(per_bucket.values()) >= 2, f"no bucket was sliced: {per_bucket}"
+    big = 4 * max(e.bytes for e in snap.files)
+    state = sorted(
+        map(tuple, t.read().select("repo", "path", "content_sha").collect())
+    )
+    # pruned point read still resolves across sliced files
+    some_repo = state[0][0]
+    pruned = t.read(repo=some_repo).select("repo").distinct().collect()
+    assert [r["repo"] for r in pruned] == [some_repo]
+    # compaction keeps the bound (and the fold is lossless)
+    t.compact()
+    snap2 = t.snapshot()
+    assert all(len(e.buckets) == 1 for e in snap2.files)
+    assert max(e.bytes for e in snap2.files) <= big
+    assert len(snap2.files) >= 3  # still several files per fat bucket
+    state2 = sorted(
+        map(tuple, t.read().select("repo", "path", "content_sha").collect())
+    )
+    assert state2 == state
