@@ -325,6 +325,100 @@ def cdc_metrics_lineage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# the changelog query diffs this committed version against the final one
+# (version v holds batches 0..v-1; v2 = two of the three fixture segments)
+CHANGELOG_FROM_VERSION = 2
+
+
+def _canon_side(src: str, out: str) -> str:
+    """SQL fragments canonicalizing a winners CTE ``src`` (repo, path,
+    commit, lang, content, seq, live) into ``out`` with the stored-row
+    mirror: normalize→lang-tag→sha256 applied to EVERY winner, tombstones
+    included — a delete event's NULL content flows through to a NULL sha
+    exactly as the engine stores it."""
+    lang_case = _ext_lang_case("lower(regexp_extract(path, '\\.([^./]+)$', 1))")
+    return f"""
+    {out}_n1 AS (
+      SELECT repo, path, "commit", lang, seq, live,
+             regexp_replace(regexp_replace(content, '\\r\\n|\\r', chr(10), 'g'),
+                            '[ \\t]+\\n', chr(10), 'g') AS c
+      FROM {src}),
+    {out}_n2 AS (
+      SELECT repo, path, "commit", lang, seq, live,
+             regexp_replace(regexp_replace(c, '[ \\t]+$', ''), '\\n+$', '') AS c
+      FROM {out}_n1),
+    {out} AS (
+      SELECT repo, path, "commit",
+             COALESCE(lang, {lang_case}) AS lang, seq, live,
+             sha256(nfc_normalize(
+               CASE WHEN length(c) > 0 THEN c || chr(10) ELSE c END)) AS sha
+      FROM {out}_n2)"""
+
+
+def _changelog_oracle() -> str:
+    """Expected row-level changelog between version
+    ``CHANGELOG_FROM_VERSION`` and the final state, straight from the raw
+    events: per-key LWW winners of each batch prefix (tombstones kept,
+    with a live flag), both sides canonicalized, full-outer diffed.
+    Unchanged keys (equal winner seq) emit nothing; a key whose winner is
+    a tombstone on both sides emits nothing; post-image columns come from
+    the NEW winner row even for deletes (the engine's changelog exposes
+    the tombstone row's stored values)."""
+    return f"""
+    WITH {_events_cte()},
+    o_w AS (
+      SELECT repo, path, "commit", lang, content, seq,
+             (op <> 'delete') AS live
+      FROM (SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY repo, path
+                                            ORDER BY seq DESC) AS rn
+            FROM ev WHERE batch_id < {CHANGELOG_FROM_VERSION})
+      WHERE rn = 1),
+    n_w AS (
+      SELECT repo, path, "commit", lang, content, seq,
+             (op <> 'delete') AS live
+      FROM (SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY repo, path
+                                            ORDER BY seq DESC) AS rn
+            FROM ev)
+      WHERE rn = 1),
+    {_canon_side('o_w', 'o_c')},
+    {_canon_side('n_w', 'n_c')},
+    j AS (
+      SELECT n.repo, n.path, n."commit", n.lang, n.sha AS content_sha,
+             o.sha AS pre_content_sha,
+             CAST(n.seq AS BIGINT) AS ingest_seq,
+             CASE
+               WHEN NOT COALESCE(o.live, FALSE) AND n.live THEN 'insert'
+               WHEN COALESCE(o.live, FALSE) AND NOT n.live THEN 'delete'
+               WHEN COALESCE(o.live, FALSE) AND n.live AND o.seq <> n.seq
+                 THEN 'update'
+             END AS change_op
+      FROM n_c n LEFT JOIN o_c o ON o.repo = n.repo AND o.path = n.path)
+    SELECT change_op, repo, path, "commit", lang, content_sha,
+           pre_content_sha, ingest_seq
+    FROM j WHERE change_op IS NOT NULL
+    """
+
+
+@register("cdc_changelog_revisions", _changelog_oracle)
+def cdc_changelog_revisions(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental changelog (CDC-out): row-level insert/update/delete
+    between two committed snapshots via ``read_changes`` — scanning only
+    rewritten buckets — value-hash-checked against a full recomputation
+    of both batch-prefix states from the raw event log."""
+    table = _replayed_table(spark, sf)
+    ch = table.read_changes(CHANGELOG_FROM_VERSION, table.log.current_version())
+    return ch.select(
+        "change_op",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content_sha",
+        "pre_content_sha",
+        F.col("_ingest_seq").cast("long").alias("ingest_seq"),
+    ).orderBy("repo", "path")
+
+
 def cleanup_replay_cache() -> None:
     for root in _REPLAY_CACHE.values():
         shutil.rmtree(root, ignore_errors=True)

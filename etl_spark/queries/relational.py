@@ -158,6 +158,11 @@ def agg_percentiles_orders(spark: SparkSession, sf: str) -> DataFrame:
            MIN(ts) AS first_ts, MAX(ts) AS last_ts
     FROM events GROUP BY event_type
     """,
+    # local-only since r4: shares its coverage row (counts/exact-decimal
+    # sums) with the exported agg_pricing_summary; its driver-window slot
+    # went to cdc_changelog_revisions (a core CDC-out operator that was
+    # previously pytest-only).  Still oracle-verified by the parity suite.
+    export=False,
 )
 def agg_event_type_stats(spark: SparkSession, sf: str) -> DataFrame:
     return (
