@@ -35,6 +35,8 @@ class CdcSink:
         auto_promote_extra: bool = True,
         checkpoint_dir: str | None = None,
         views: list | None = None,
+        maintain_every: int = 0,
+        maintain_kwargs: dict | None = None,
     ):
         self.table = table
         self.delivery = delivery
@@ -48,6 +50,15 @@ class CdcSink:
         # between table commit and view refresh is healed by the next
         # refresh consuming the missed changelog range.
         self.views = list(views or [])
+        # periodic in-loop maintenance: vacuum's concurrency contract is
+        # "run maintain() in the same single-writer loop as apply_batch"
+        # — this is that loop.  Every ``maintain_every`` committed
+        # batches the sink runs table.maintain(**maintain_kwargs)
+        # between triggers (stats-driven: a no-op costs one manifest
+        # read).  0 disables.
+        self.maintain_every = int(maintain_every)
+        self.maintain_kwargs = dict(maintain_kwargs or {})
+        self._committed_since_maintain = 0
         self.applied: list[dict] = []  # per-batch stats (driver-side diag)
         # hot-path caches (single-writer model: this sink owns the table
         # while its query runs, so locally tracked metadata cannot go
@@ -155,6 +166,13 @@ class CdcSink:
             stats["view_refresh_ms"] = int(
                 (time.monotonic() - t_views) * 1000
             )
+        if self.maintain_every and not stats.get("skipped"):
+            self._committed_since_maintain += 1
+            if self._committed_since_maintain >= self.maintain_every:
+                self._committed_since_maintain = 0
+                t_m = time.monotonic()
+                stats["maintain"] = self.table.maintain(**self.maintain_kwargs)
+                stats["maintain_ms"] = int((time.monotonic() - t_m) * 1000)
         self.applied.append(stats)
         if len(self.applied) > 10_000:  # tail mode runs forever; diag only
             del self.applied[: -5_000]

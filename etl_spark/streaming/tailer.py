@@ -30,6 +30,8 @@ def run_tailer(
     await_termination: bool = True,
     nfc: bool = True,
     views: list | None = None,
+    maintain_every: int = 0,
+    maintain_kwargs: dict | None = None,
 ) -> tuple[StreamingQuery, CdcSink]:
     # drop_rejects=False: the CDC boundary retains malformed rows in the
     # table's quarantine/ (counted in sink stats) instead of the source's
@@ -40,7 +42,8 @@ def run_tailer(
     )
     sink = CdcSink(
         table, delivery=delivery, nfc=nfc, checkpoint_dir=checkpoint_dir,
-        views=views,
+        views=views, maintain_every=maintain_every,
+        maintain_kwargs=maintain_kwargs,
     )
     writer = (
         stream.writeStream.foreachBatch(sink.apply)

@@ -224,3 +224,26 @@ def test_fresh_tailer_on_backfilled_table_loses_nothing(spark, tmp_path):
     assert [s["batch_id"] for s in applied2] == [3]
     all_ev = ev.unionByName(late)
     _assert_state_equal(_final_state(t), replay_events(all_ev.toPandas()))
+
+
+def test_in_loop_maintenance_runs_every_n_batches(spark, tmp_path):
+    """maintain() must run in the same single-writer loop as apply_batch
+    (vacuum's concurrency contract): maintain_every wires it into the
+    sink between triggers, stats-driven so an idle pass is one manifest
+    read, and history retention shows it actually vacuumed."""
+    ev = events_df(spark, 800, n_repos=8, paths_per_repo=20)
+    event_dir = str(tmp_path / "events")
+    write_event_batches(ev, event_dir, n_batches=4)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8, salt=4)
+    _q, sink = run_tailer(
+        t, event_dir, str(tmp_path / "ckpt"), mode="replay",
+        max_files_per_trigger=1, maintain_every=2,
+        maintain_kwargs={"retain_versions": 2, "stale_grace_sec": 0,
+                         "max_files_per_bucket": 1e9},
+    )
+    applied = [s for s in sink.applied if not s.get("skipped")]
+    ran = [s for s in applied if "maintain" in s]
+    assert len(ran) == 2 and all(s["maintain_ms"] >= 0 for s in ran)
+    # vacuum actually enforced retention inside the loop
+    assert len(t.history()) <= 3
+    _assert_state_equal(_final_state(t), replay_events(ev.toPandas()))
