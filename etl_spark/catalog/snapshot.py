@@ -41,6 +41,12 @@ class FileEntry:
     min_repo: str | None = None
     max_repo: str | None = None
     bytes: int = 0
+    # non-tombstone rows in the file (``rows`` includes tombstones).
+    # Stamped at write time by the stats pass, so a snapshot with no
+    # pending delta files knows its exact LIVE row count from metadata
+    # alone (deep-retention time travel never scans data just to count).
+    # -1 = unknown (manifests written before this field).
+    live_rows: int = -1
 
 
 @dataclass
@@ -79,6 +85,19 @@ class Snapshot:
 
     def wm(self) -> dict[int, int]:
         return {int(k): int(v) for k, v in self.watermarks.items()}
+
+    def live_row_count(self) -> int | None:
+        """Exact live (non-tombstone) row count from metadata alone.
+
+        None when the manifest cannot know it: pending merge-on-read
+        delta files overlap base keys in ways only a key-join resolves,
+        and files written before the ``live_rows`` stat lack it.  Every
+        copy-on-write commit and every compaction restores exactness."""
+        if self.delta_files:
+            return None
+        if any(e.live_rows < 0 for e in self.files):
+            return None
+        return sum(e.live_rows for e in self.files)
 
     def to_json(self) -> str:
         d = asdict(self)

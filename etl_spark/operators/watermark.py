@@ -36,10 +36,24 @@ def admission_filter(
     batch: DataFrame, watermarks: dict[int, int], spark: SparkSession
 ) -> DataFrame:
     """Drop events at-or-below the per-partition watermark (duplicates
-    under the ordered-source contract).  Broadcast join: the watermark
-    vector is tiny (one row per source partition)."""
+    under the ordered-source contract).
+
+    Small vectors (the common case: one entry per source partition)
+    compile to a literal CASE expression — pure whole-stage-codegen
+    filter, no per-batch createDataFrame round-trip and no broadcast
+    exchange, which were two fixed costs on every steady-state
+    micro-batch.  Very wide vectors fall back to a broadcast join
+    (a thousand-branch CASE would bloat the codegen)."""
     if not watermarks:
         return batch
+    if len(watermarks) <= 256:
+        wm_expr = F.lit(-1).cast("long")
+        for p, s in sorted(watermarks.items()):
+            wm_expr = (
+                F.when(F.col("part_id") == p, F.lit(int(s)).cast("long"))
+                .otherwise(wm_expr)
+            )
+        return batch.filter(F.col("seq") > wm_expr)
     wm = spark.createDataFrame(
         [(int(p), int(s)) for p, s in watermarks.items()], "part_id int, _wm long"
     )

@@ -160,7 +160,14 @@ class CdcSink:
         # compaction, so it understates what the stream actually waited
         stats["sink_ms"] = int((time.monotonic() - t_apply) * 1000)
         stats["quarantined"] = quarantined
-        if self.views and not stats.get("skipped"):
+        # views refresh on SKIPPED batches too (ADVICE r4): the crash-heal
+        # path — crash between table commit and view refresh — redelivers
+        # an epoch that is now fenced and hence skipped; the missed
+        # changelog range must heal on that redelivery, not whenever the
+        # next non-skipped batch happens to arrive (an availableNow drain
+        # may never produce one).  A no-change refresh is changelog-driven
+        # and cheap (manifest read, zero Spark jobs).
+        if self.views:
             t_views = time.monotonic()
             stats["views"] = [v.refresh()["mode"] for v in self.views]
             stats["view_refresh_ms"] = int(

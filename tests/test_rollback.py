@@ -206,3 +206,111 @@ def test_tag_api_validates_and_drops(spark, tmp_path):
     assert t.tags() == {}
     with pytest.raises(KeyError, match="no tag"):
         t.snapshot("a")
+
+
+def test_restore_markers_do_not_inherit(spark, tmp_path):
+    """rolled_back_from/restored_version describe exactly one commit —
+    descendants of a rollback must not report themselves as restores
+    (ADVICE r4: _child copied them into every later merge/fence)."""
+    t, ev = _mk(spark, tmp_path)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") < 200)), 0)
+    target_v = t.snapshot().version
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 1)
+    t.rollback(target_v)
+    rb_v = t.snapshot().version
+    # ordinary commits after the rollback: a merge and a compaction
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 1)
+    t.compact()
+    h = {r["version"]: r for r in t.describe_history().collect()}
+    assert h[rb_v]["restored_version"] == str(target_v)
+    for v, row in h.items():
+        if v != rb_v:
+            assert row["restored_version"] is None, (v, row["op"])
+    assert "rolled_back_from" not in t.snapshot().properties
+
+
+def _lineage(t):
+    return sorted(
+        map(
+            tuple,
+            t.metrics()
+            .select("batch_id", "part_id", "rows_applied")
+            .collect(),
+        )
+    )
+
+
+def test_rollback_truncates_and_heals_metrics_lineage(spark, tmp_path):
+    """Rollback un-commits batches above the restored fence; their
+    lineage (per-batch files AND folded span rows) must go with them,
+    or re-ingest under reused batch ids reports pre-rollback data
+    (ADVICE r4).  Re-ingest with DIFFERENT batch boundaries must yield
+    exactly the fresh lineage."""
+    t, ev = _mk(spark, tmp_path)
+    for b in range(4):
+        lo, hi = b * 100, (b + 1) * 100
+        t.apply_batch(
+            canonicalize(ev.filter((F.col("seq") >= lo) & (F.col("seq") < hi))), b
+        )
+    target_v = t.history()[2]  # after batch 1 (create, b0, b1, b2, b3)
+    golden = [r for r in _lineage(t) if r[0] <= 1]
+    # fold everything into one span so the stale rows live inside it
+    res = t.compact_metrics(keep_recent=0)
+    assert res["consolidated"] == 4
+    rb = t.rollback(target_v)
+    assert t.snapshot().last_batch_id == 1
+    assert rb["metrics_truncated"]["spans_truncated"] == 1
+    # lineage now stops at the restored fence
+    assert _lineage(t) == golden
+    # re-ingest the same events under REUSED ids but different boundaries
+    t.apply_batch(canonicalize(ev.filter((F.col("seq") >= 200) & (F.col("seq") < 230))), 2)
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 230)), 3)
+    fresh = [r for r in _lineage(t) if r[0] >= 2]
+    assert sum(r[2] for r in fresh) == 200  # 200 re-ingested events
+    # spans never overlap and heal is idempotent
+    t.compact_metrics(keep_recent=0)
+    assert [r for r in _lineage(t) if r[0] >= 2] == fresh
+
+
+def test_compact_metrics_heals_reingest_crash_window(spark, tmp_path):
+    """Crash window: rollback commits but dies before truncating the
+    metrics.  A later re-ingest writes fresh batch files whose ids fall
+    inside a stale span — heal rule 2 (mtime) must keep the FRESH files
+    and truncate the stale span rows, never the reverse."""
+    import time as _time
+
+    t, ev = _mk(spark, tmp_path)
+    for b in range(4):
+        lo, hi = b * 100, (b + 1) * 100
+        t.apply_batch(
+            canonicalize(ev.filter((F.col("seq") >= lo) & (F.col("seq") < hi))), b
+        )
+    target_v = t.history()[2]
+    golden = [r for r in _lineage(t) if r[0] <= 1]
+    t.compact_metrics(keep_recent=0)
+    # simulate the crash: the snapshot rolls back but truncation never ran
+    t._truncate_metrics, orig = (lambda fence: {"skipped": True}), t._truncate_metrics
+    try:
+        t.rollback(target_v)
+    finally:
+        t._truncate_metrics = orig
+    mdir = os.path.join(t.root, "metrics")
+    assert any(n.startswith("span-") and n.endswith("00000003.parquet")
+               for n in os.listdir(mdir))  # stale span survived the crash
+    _time.sleep(1.1)  # mtime resolution: fresh files must sort after the span
+    t.apply_batch(canonicalize(ev.filter(F.col("seq") >= 200)), 2)
+    # expected: exactly the fresh per-batch file's rows (metrics() right
+    # now double-reports batch 2 — stale span rows + fresh file — which
+    # is precisely what the heal must resolve toward the fresh side)
+    fresh = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(mdir, "batch-00000002.parquet"))
+            .select("batch_id", "part_id", "rows_applied")
+            .collect(),
+        )
+    )
+    heal = t.compact_metrics(keep_recent=256)
+    assert [r for r in _lineage(t) if r[0] <= 1] == golden
+    assert [r for r in _lineage(t) if r[0] >= 2] == fresh
+    assert heal == {"consolidated": 0, "healed": 0}  # nothing else to do

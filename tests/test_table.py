@@ -380,11 +380,16 @@ def test_metrics_compaction_consolidates_and_heals(spark, tmp_path):
     )
     assert after == before  # lossless fold
     # crash simulation: an original inside the span range reappears
-    # (rename happened, deletes didn't) -> next run heals it away
-    _sh.copy(
-        os.path.join(mdir, "batch-00000004.parquet"),
-        os.path.join(mdir, "batch-00000001.parquet"),
+    # (rename happened, deletes didn't).  A true crash leftover PREDATES
+    # the span file (it was written before the fold ran), so the sim must
+    # backdate it — a NEWER file is a rollback re-ingest, which the heal
+    # keeps (see test_rollback_truncates_and_heals_metrics_lineage).
+    leftover = os.path.join(mdir, "batch-00000001.parquet")
+    _sh.copy(os.path.join(mdir, "batch-00000004.parquet"), leftover)
+    span_mtime = os.path.getmtime(
+        os.path.join(mdir, "span-00000000-00000002.parquet")
     )
+    os.utime(leftover, (span_mtime - 60, span_mtime - 60))
     res2 = t.compact_metrics(keep_recent=2)
     assert res2["healed"] == 1 and res2["consolidated"] == 0
     assert sorted(
@@ -472,3 +477,49 @@ def test_max_file_bytes_bounds_data_file_sizes(spark, tmp_path):
         map(tuple, t.read().select("repo", "path", "content_sha").collect())
     )
     assert state2 == state
+
+
+def test_write_stats_fast_path_matches_scan(spark, tmp_path):
+    """Manifest entries built from write-time observed stats must be
+    byte-identical to what the authoritative post-write scan produces —
+    for both the CoW merge and the MoR delta path (VERDICT r4 #3: no
+    second read of written data on the commit path)."""
+    t, ev = _mk(spark, tmp_path, mor_compact_ratio=100.0)
+    ev = canonicalize(ev)
+    t.apply_batch(ev.filter(F.col("seq") < 150), 0)  # CoW (first write)
+    t.apply_batch(ev.filter((F.col("seq") >= 150) & (F.col("seq") < 300)), 1)
+    t.apply_batch(ev.filter(F.col("seq") >= 300), 2, mode="mor")
+    snap = t.snapshot()
+    checked = 0
+    for entries in (snap.files, snap.delta_files):
+        dirs = sorted({e.path.split("/bucket=")[0] for e in entries})
+        for d in dirs:
+            mine = sorted(
+                (e for e in entries if e.path.startswith(d + "/")),
+                key=lambda e: e.path,
+            )
+            scanned = t._scan_written(d)
+            assert [vars(e) for e in mine] == [vars(e) for e in scanned], d
+            checked += len(mine)
+    assert checked == len(snap.files) + len(snap.delta_files) > 0
+
+
+def test_live_row_count_metadata_matches_scans(spark, tmp_path):
+    """Snapshots without pending deltas know their exact live row count
+    from metadata alone (VERDICT r4 #6); MoR snapshots answer None and
+    compaction restores exactness.  Cross-checked against full scans."""
+    t, ev = _mk(spark, tmp_path, mor_compact_ratio=100.0)
+    ev2 = events_df(spark, 400, n_repos=5, paths_per_repo=12, delete_pct=20)
+    t.apply_batch(canonicalize(ev2.filter(F.col("seq") < 200)), 0)
+    t.apply_batch(canonicalize(ev2.filter(F.col("seq") >= 200)), 1, mode="mor")
+    t.compact()
+    for v in t.history():
+        snap = t.snapshot(v)
+        meta_count = snap.live_row_count()
+        if snap.delta_files:
+            assert meta_count is None  # honest: overlap needs a read
+        else:
+            assert meta_count == t.read(version=v).count()
+    h = {r["version"]: r["live_rows"] for r in t.describe_history().collect()}
+    head = t.snapshot()
+    assert h[head.version] == t.read().count()
