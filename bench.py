@@ -83,6 +83,37 @@ def steal_probe() -> dict:
     }
 
 
+# the bench GATES on its own steal probe (VERDICT r4 #1/#2): r4's
+# headline shipped with parallel_scale=0.355 recorded and nothing
+# acting on it, voiding every cross-round wall-time comparison.
+PROBE_MIN = float(os.environ.get("ETL_SPARK_BENCH_PROBE_MIN", "0.8"))
+PROBE_WAIT_SEC = int(os.environ.get("ETL_SPARK_BENCH_PROBE_WAIT", "3600"))
+PROBE_POLL_SEC = int(os.environ.get("ETL_SPARK_BENCH_PROBE_POLL", "120"))
+# end-of-run steal check: absolute parallel Mops must not collapse below
+# this fraction of the start probe's (ratio-based scale is turbo-skewed
+# after a long run — see comment at the end-probe call site)
+END_ABS_FRAC = float(os.environ.get("ETL_SPARK_BENCH_END_ABS_FRAC", "0.6"))
+
+
+def wait_for_clean_host() -> dict:
+    """Retry the steal probe until the host delivers ≥PROBE_MIN of its
+    cores (bounded by PROBE_WAIT_SEC).  If the window expires, proceed
+    anyway but the caller stamps the result ``degraded`` so no reader
+    ever mistakes host steal for an engine regression."""
+    deadline = time.monotonic() + PROBE_WAIT_SEC
+    probe = steal_probe()
+    while probe["parallel_scale"] < PROBE_MIN and time.monotonic() < deadline:
+        print(
+            f"  host degraded (parallel_scale={probe['parallel_scale']}"
+            f" < {PROBE_MIN}); retrying in {PROBE_POLL_SEC}s"
+            f" (up to {int(deadline - time.monotonic())}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(PROBE_POLL_SEC)
+        probe = steal_probe()
+    return probe
+
+
 def bench_queries(spark) -> dict[str, float]:
     # LOCAL_QUERIES: the headline set includes local-only baselines
     # (e.g. join_region_revenue) kept comparable across rounds
@@ -219,8 +250,10 @@ def bench_tail(spark) -> dict:
     from etl_spark.pipeline import canonicalize
     from etl_spark.streaming.tailer import run_tailer
 
-    n_batches = int(os.environ.get("ETL_SPARK_BENCH_TAIL_BATCHES", "12"))
-    n_events = int(os.environ.get("ETL_SPARK_BENCH_TAIL_EVENTS", "120000"))
+    # ≥20 steady batches so the reported percentiles are percentiles of
+    # something (VERDICT r4 #8: n=12 made p95 == max)
+    n_batches = int(os.environ.get("ETL_SPARK_BENCH_TAIL_BATCHES", "24"))
+    n_events = int(os.environ.get("ETL_SPARK_BENCH_TAIL_EVENTS", "240000"))
     n_base = int(os.environ.get("ETL_SPARK_BENCH_TAIL_BASE", "400000"))
     root = tempfile.mkdtemp(prefix="etl_spark_tail_")
     try:
@@ -309,7 +342,7 @@ def main() -> None:
         "etl_spark-bench", cores=CPUS, shuffle_partitions=2 * CPUS, extra_conf=extra
     )
     try:
-        probe = steal_probe()
+        probe = wait_for_clean_host()
         print(f"  steal probe: {probe}", file=sys.stderr)
         queries = bench_queries(spark)
         cdc = bench_cdc_replay(spark)
@@ -319,6 +352,19 @@ def main() -> None:
               f"({cdc['mor_events_per_sec']:.0f} events/s)", file=sys.stderr)
         tail = bench_tail(spark)
         print(f"  tail: {tail}", file=sys.stderr)
+        # probe AGAIN after the measured section: the stamp must reflect
+        # the conditions the numbers were actually taken under, not just
+        # the gate that admitted them.  The end probe's parallel_scale is
+        # NOT comparable to the start probe's — after a long parallel
+        # run the single-thread leg runs at turbo frequency, inflating
+        # the denominator (observed: single 7.1→14.8 Mops while parallel
+        # only moved 228→180 on an idle host).  The signal that steal
+        # arrived MID-RUN is absolute parallel capacity collapsing.
+        probe_end = steal_probe()
+        print(f"  steal probe (end): {probe_end}", file=sys.stderr)
+        end_collapsed = probe_end["parallel_mops"] < END_ABS_FRAC * probe[
+            "parallel_mops"
+        ]
         queries["cdc_replay"] = cdc["replay_sec"]
         queries["cdc_replay_mor"] = cdc["mor_replay_sec"]
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -339,6 +385,12 @@ def main() -> None:
             "cdc": cdc,
             "tail": tail,
             "ceiling": probe,
+            "ceiling_end": probe_end,
+            # degraded=true means: do NOT read these wall times as an
+            # engine signal — the host withheld cores during the run
+            # (start-probe gate failed even after the retry window, or
+            # absolute parallel capacity collapsed by the end probe)
+            "degraded": probe["parallel_scale"] < PROBE_MIN or end_collapsed,
             "query_policy": "best_of_2",
         }
         print(json.dumps(result))

@@ -135,24 +135,81 @@ def cpu_ceiling(n: int) -> float:
     return rate(4 * n) / (4 * rate(n))
 
 
+# Degraded-run classification — INDEPENDENT of the 0.8 efficiency
+# target (ADVICE r4: defining "clean" as efficiency>=0.8 made the
+# report self-confirming).  A run is degraded when the HOST visibly
+# withheld resources, measured by signals that say nothing about the
+# engine's scaling ratio:
+#   - absolute throughput on EITHER leg below DEGRADED_ABS_FRAC of the
+#     ledger's best for that leg (the 2026-08-17 18:35Z/22:03Z runs:
+#     compute ceilings were healthy at 0.949/0.858, but absolute
+#     events/s collapsed ~3x on both legs — I/O starvation, not CPU);
+#   - or a pure-compute ceiling below DEGRADED_CEILING (the machine
+#     itself could not scale N->4N, so no engine measurement can).
+DEGRADED_ABS_FRAC = 0.6
+DEGRADED_CEILING = 0.8
+
+
+def classify_runs(hist: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
+    """(clean, degraded, legacy) — legacy = pre-interleaved-protocol runs
+    (kept in the table, excluded from the headline statistics)."""
+    proto = [h for h in hist if h.get("mode") == "interleaved-pairs"]
+    legacy = [h for h in hist if h.get("mode") != "interleaved-pairs"]
+    best_n = max((h["eps_n"] for h in proto), default=1)
+    best_n4 = max((h["eps_n4"] for h in proto), default=1)
+    clean, degraded = [], []
+    for h in proto:
+        reasons = []
+        if h["eps_n"] < DEGRADED_ABS_FRAC * best_n:
+            reasons.append(f"eps@N {h['eps_n']:.0f} < {DEGRADED_ABS_FRAC} x best {best_n:.0f}")
+        if h["eps_n4"] < DEGRADED_ABS_FRAC * best_n4:
+            reasons.append(f"eps@4N {h['eps_n4']:.0f} < {DEGRADED_ABS_FRAC} x best {best_n4:.0f}")
+        if h["ceiling"] < DEGRADED_CEILING:
+            reasons.append(f"ceiling {h['ceiling']} < {DEGRADED_CEILING}")
+        (degraded if reasons else clean).append({**h, "degraded_reasons": reasons})
+    return clean, degraded, legacy
+
+
 def write_baseline_md(hist: list[dict], latest_extra: str = "") -> dict:
     """Regenerate BENCH/BASELINE.md from the append-only run ledger.
 
-    The HEADLINE is the best-efficiency recorded run: pairs are
-    interleaved so each run's best pair is already a same-conditions
-    ratio, and across runs the input/protocol are identical — the
-    highest-efficiency run is simply the least host-interfered joint
-    measurement (this sandbox VM's steal varies hour to hour; a degraded
-    run must not erase a clean one, only join the ledger)."""
-    best = max(hist, key=lambda h: h["efficiency"])
-    met = [h for h in hist if h["efficiency"] >= 0.8]
+    The HEADLINE is the MEDIAN of clean runs' best-pair efficiencies
+    (ADVICE r4: a best-run headline is a max-statistic; the median of
+    independently-classified clean runs is the honest central estimate).
+    Degraded runs stay in the ledger — they join the table with their
+    classification reasons, they just don't enter the statistics."""
+    import statistics
+
+    clean, degraded, legacy = classify_runs(hist)
     latest = hist[-1]
+    pool = clean or [h for h in hist if h.get("mode") == "interleaved-pairs"] or hist
+    best = max(pool, key=lambda h: h["efficiency"])
+    clean_effs = sorted((h["efficiency"] for h in clean), reverse=True)
+    med = statistics.median(clean_effs) if clean_effs else None
+    med_of_medians = (
+        statistics.median(
+            h["median_efficiency"] for h in clean if "median_efficiency" in h
+        )
+        if clean
+        else None
+    )
+
+    def flag(h) -> str:
+        if h.get("mode") != "interleaved-pairs":
+            return "legacy protocol"
+        reasons = next(
+            (d["degraded_reasons"] for d in degraded if d["stamp"] == h["stamp"]),
+            [],
+        )
+        return "DEGRADED: " + "; ".join(reasons) if reasons else "clean"
+
     hist_rows = [
         f"| {h['stamp']} | local[{h['n']}]→local[{h['n4']}] "
         f"| {h['eps_n']:,} | {h['eps_n4']:,} | {h['efficiency']} "
-        f"| {h['ceiling']} |"
+        f"| {h['ceiling']} | {flag(h)} |"
         for h in hist
     ]
+    met = "MET" if med is not None and med >= 0.8 else "NOT MET on the median"
     md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N)
 
 Generated by `scripts/scaling_bench.py` from the append-only run ledger
@@ -170,30 +227,36 @@ the machine during measurement.
 
 ## Criterion status (target >= 0.8 per BASELINE.json)
 
-**MET by {len(met)} recorded clean runs** (best pairs:
-{sorted((h["efficiency"] for h in met), reverse=True)}).  This sandbox
-VM's CPU steal varies hour to hour — each run also records the
-machine's own pure-compute N->4N ceiling, and degraded-host runs
-(absolute throughput far below the recorded best at BOTH parallelism
-levels) stay in the ledger but cannot erase clean measurements.
+Degraded-run classification is INDEPENDENT of the target (see
+`classify_runs`): a run is degraded only when absolute throughput on
+either leg fell below {DEGRADED_ABS_FRAC}x the ledger best for that leg
+(I/O starvation — note the machine can show a healthy pure-compute
+ceiling while disk/IPC bandwidth collapses) or the pure-compute ceiling
+itself was < {DEGRADED_CEILING}.
 
-## Headline: best recorded run ({best["stamp"]}, {best["events"]:,} events)
+**{met}: median best-pair efficiency across the {len(clean)} clean runs
+= {med}** (all clean best-pairs: {clean_effs}; median of the clean
+runs' own per-run MEDIAN pair efficiencies: {med_of_medians}).
+{len(degraded)} degraded + {len(legacy)} legacy-protocol runs stay in
+the ledger below but are excluded from these statistics.
+
+## Reference run (best clean pair: {best["stamp"]}, {best["events"]:,} events)
 
 | run | master | events/sec |
 | --- | --- | --- |
 | N  | local[{best["n"]}]  | {best["eps_n"]:,} |
 | 4N | local[{best["n4"]}] | {best["eps_n4"]:,} |
 
-**Scaling efficiency = {best["eps_n4"]:,} / (4 x {best["eps_n"]:,})
-= {best["efficiency"]}**; machine ceiling that session
+Scaling efficiency = {best["eps_n4"]:,} / (4 x {best["eps_n"]:,})
+= {best["efficiency"]}; machine ceiling that session
 {best["ceiling"]} (engine/ceiling = {min(1.0, best["efficiency"] / best["ceiling"]):.3f}).
 Final table state is identical across parallelism levels on every run —
 the LWW merge is delivery- and partitioning-order independent.
 {latest_extra}
 ## Run history (append-only, BENCH/history.jsonl)
 
-| when | pair | events/s @N | events/s @4N | efficiency | machine ceiling |
-| --- | --- | --- | --- | --- | --- |
+| when | pair | events/s @N | events/s @4N | efficiency | machine ceiling | classification |
+| --- | --- | --- | --- | --- | --- | --- |
 {chr(10).join(hist_rows)}
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
