@@ -70,6 +70,11 @@ class CdcSink:
         self._offset: int | None = None
         self._extra_cols: list[str] | None = None
         self._stream_id: str | None = None
+        # previous committed batch's admitted-event count: the size hint
+        # that lets apply_batch overlap its stats job with plan analysis
+        # on steady-state small batches (a wrong hint is only optimistic
+        # work wasted — the stats result stays authoritative)
+        self._last_events: int | None = None
 
     def _offset_key(self) -> str:
         """Table-property key for this stream's epoch→batch-id offset.
@@ -152,8 +157,10 @@ class CdcSink:
         t_apply = time.monotonic()
         stats = self.table.apply_batch(
             batch_df, batch_id, delivery=self.delivery, canonicalizer=canon,
-            set_properties=set_props,
+            set_properties=set_props, expected_rows=self._last_events,
         )
+        if not stats.get("skipped"):
+            self._last_events = int(stats.get("events") or 0) or None
         self._extra_cols = promoted  # committed (or already known) now
         # end-to-end apply wall clock: the table's own latency_ms is
         # stamped BEFORE the snapshot commit and any debt-triggered

@@ -417,3 +417,125 @@ def test_maintain_byte_cap_bounds_slice_and_drains(spark, tmp_path):
                      stale_grace_sec=0)
     assert mor.snapshot().delta_files == []
     assert sorted(map(tuple, mor.read().select(*STATE).collect())) == state
+
+
+def test_small_delta_is_one_multibucket_file(spark, tmp_path):
+    """A small MoR batch lands as EXACTLY ONE delta file whose manifest
+    entry spans every bucket the batch touched, with write-time stats
+    that match a scan — 16 tiny per-bucket files per batch tripped the
+    file-count debt cap every few batches and the inline fold dominated
+    tail p95 (round-5 fix)."""
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=100.0, mor_max_delta_files=1000,
+    )
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        st = mor.apply_batch(canonicalize(b), i)
+        if st.get("mode") == "mor":
+            assert st["new_files"] == 1
+    snap = mor.snapshot()
+    assert len(snap.delta_files) == len(batches) - 1  # batch 0 was CoW
+    for e in snap.delta_files:
+        assert len(e.buckets) >= 2  # keys spread over several buckets
+        df = spark.read.parquet(str(tmp_path / "mor" / e.path))
+        assert df.count() == e.rows
+        assert df.filter(~F.col("_deleted")).count() == e.live_rows
+        lo, hi = df.agg(F.min("repo"), F.max("repo")).first()
+        assert (lo, hi) == (e.min_repo, e.max_repo)
+    # a delta above the size threshold keeps the per-bucket layout
+    big = LakeTable.create(
+        spark, str(tmp_path / "big"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=100.0, mor_max_delta_files=1000,
+        mor_small_delta_bytes=1024,  # fixture batches exceed 1KB: "big" path
+    )
+    for i, b in enumerate(_batches(spark)):
+        big.apply_batch(canonicalize(b), i)
+    assert all(len(e.buckets) == 1 for e in big.snapshot().delta_files)
+    _same_state(mor.read(), big.read())
+
+
+def test_cow_fold_closure_over_multibucket_delta(spark, tmp_path):
+    """A copy-on-write merge whose touched set intersects a multi-bucket
+    pending delta must expand the fold to the delta's FULL bucket span
+    (closure): folding only the intersecting rows would emit the delta's
+    other buckets' rows as new base rows while those buckets' old base
+    files are carried — duplicate keys in the base set."""
+    auto = LakeTable.create(
+        spark, str(tmp_path / "auto"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=100.0, mor_max_delta_files=1000,
+    )
+    cow = LakeTable.create(spark, str(tmp_path / "cow"), n_buckets=4, salt=2)
+    batches = _batches(spark)
+    for i, b in enumerate(batches):
+        auto.apply_batch(canonicalize(b), i)
+        cow.apply_batch(canonicalize(b), i)
+    assert any(
+        len(e.buckets) > 1 for e in auto.snapshot().delta_files
+    )  # multi-bucket pending deltas exist
+    # force a copy-on-write batch over a sliver of the keyspace: the
+    # closure pulls the pending all-bucket deltas into the rewrite
+    extra = events_df(spark, 60, n_repos=1, paths_per_repo=12, delete_pct=0,
+                      start_seq=2000)
+    auto.apply_batch(canonicalize(extra), len(batches), mode="cow")
+    cow.apply_batch(canonicalize(extra), len(batches))
+    assert auto.snapshot().delta_files == []  # closure folded them all
+    # no duplicate base keys, and state matches the always-CoW twin
+    dup = (
+        auto.read().groupBy("repo", "path").count().filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+    _same_state(auto.read(), cow.read())
+
+
+def test_targeted_fold_splits_partial_delta(spark, tmp_path):
+    """compact(buckets=[b]) over a multi-bucket delta file folds ONLY
+    bucket b's rows; the remainder is rewritten as one leftover delta
+    (pending chain collapses as a side effect) and state is unchanged."""
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), n_buckets=4, salt=2,
+        write_mode="mor", mor_compact_ratio=100.0, mor_max_delta_files=1000,
+    )
+    for i, b in enumerate(_batches(spark)):
+        mor.apply_batch(canonicalize(b), i)
+    snap = mor.snapshot()
+    assert any(len(e.buckets) > 1 for e in snap.delta_files)
+    state = sorted(map(tuple, mor.read().select(*STATE).collect()))
+    target = sorted({b for e in snap.delta_files for b in e.buckets})[0]
+    res = mor.compact(buckets=[target])
+    assert res["buckets"] == [target]
+    after = mor.snapshot()
+    assert all(target not in e.buckets for e in after.delta_files)
+    # the partial files' remainders collapsed into one leftover delta
+    assert len(after.delta_files) == 1
+    assert "dleft-" in after.delta_files[0].path
+    assert sorted(map(tuple, mor.read().select(*STATE).collect())) == state
+    mor.compact()
+    assert mor.snapshot().delta_files == []
+    assert sorted(map(tuple, mor.read().select(*STATE).collect())) == state
+
+
+def test_expected_rows_hint_is_result_invariant(spark, tmp_path):
+    """The size hint only changes scheduling (stats job overlapped with
+    plan analysis), never results: with a hint, a wrong hint, and no
+    hint, the committed state and manifests must be identical."""
+    tables = {}
+    for name, hints in {
+        "nohint": [None, None, None],
+        "hint": [200, 200, 200],
+        "wrong": [1, 10_000_000, 3],
+    }.items():
+        t = LakeTable.create(
+            spark, str(tmp_path / name), n_buckets=4, salt=2,
+            write_mode="auto", mor_compact_ratio=100.0,
+            mor_max_delta_files=1000,
+        )
+        for i, b in enumerate(_batches(spark)):
+            t.apply_batch(canonicalize(b), i, expected_rows=hints[i % 3])
+        tables[name] = t
+    _same_state(tables["nohint"].read(), tables["hint"].read())
+    _same_state(tables["nohint"].read(), tables["wrong"].read())
+    for name in ("hint", "wrong"):
+        assert len(tables[name].snapshot().delta_files) == len(
+            tables["nohint"].snapshot().delta_files
+        )
