@@ -307,6 +307,23 @@ def bench_tail(spark) -> dict:
             s["sink_ms"] for s in applied_stats
             if "sink_ms" in s and not s.get("compacted")
         )
+        # median per-phase seconds across steady batches: the diagnosis
+        # view for the steady-p50 target — says WHICH phase to attack
+        steady_stats = [s for s in applied_stats if not s.get("compacted")]
+        phase_med: dict[str, float] = {}
+        for k in sorted({
+            k
+            for s in steady_stats
+            for k, v in (s.get("phases") or {}).items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        }):
+            vals = sorted(
+                s["phases"][k]
+                for s in steady_stats
+                if isinstance(s.get("phases", {}).get(k), (int, float))
+                and not isinstance(s.get("phases", {}).get(k), bool)
+            )
+            phase_med[k] = vals[len(vals) // 2]
         return {
             "batches": len(lats),
             "events": n_events,
@@ -322,6 +339,7 @@ def bench_tail(spark) -> dict:
             "batch_latency_ms_max": lats[-1],
             "steady_batch_ms_p50": pct(steady, 0.50) if steady else None,
             "steady_batch_ms_p95": pct(steady, 0.95) if steady else None,
+            "steady_phase_sec_p50": phase_med,
             "drain_sec": round(wall, 3),
             "events_per_sec": round(n_events / wall, 1),
         }

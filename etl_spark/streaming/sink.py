@@ -75,6 +75,19 @@ class CdcSink:
         # on steady-state small batches (a wrong hint is only optimistic
         # work wasted — the stats result stays authoritative)
         self._last_events: int | None = None
+        self._keys_pool_inst = None
+
+    def _keys_pool(self):
+        """Lazy single-thread pool for the extra-keys observation job —
+        separate from the table's stats pool so the two background Spark
+        jobs run concurrently rather than queueing on one thread."""
+        if self._keys_pool_inst is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._keys_pool_inst = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="cdc-extra-keys"
+            )
+        return self._keys_pool_inst
 
     def _offset_key(self) -> str:
         """Table-property key for this stream's epoch→batch-id offset.
@@ -142,15 +155,28 @@ class CdcSink:
         # path's only pre-merge shuffle is the LWW window itself.
         # additive schema evolution: already-promoted columns (tracked
         # locally; seeded from the snapshot on the first batch) + any new
-        # extra keys observed in this batch
-        new = observed_extra_keys(batch_df) if self.auto_promote_extra else []
-        promoted = list(self._extra_cols) + [
-            k for k in new if k not in self._extra_cols
-        ]
+        # extra keys observed in this batch.  The key-observation job is
+        # submitted to the sink's own background thread and resolved
+        # LAZILY inside the canonicalizer: apply_batch's stats job and
+        # staging don't need the promoted set, so at steady-state
+        # micro-batch sizes the whole extra-keys scan overlaps them
+        # instead of adding a serial job submission to every batch.
+        keys_fut = (
+            self._keys_pool().submit(observed_extra_keys, batch_df)
+            if self.auto_promote_extra
+            else None
+        )
+
+        def promoted_cols() -> list[str]:
+            new = keys_fut.result() if keys_fut is not None else []
+            return list(self._extra_cols) + [
+                k for k in new if k not in self._extra_cols
+            ]
 
         def canon(df: DataFrame) -> DataFrame:
             c = canonicalize(df, nfc=self.nfc)
-            return promote_extra(c, promoted) if promoted else c
+            p = promoted_cols()
+            return promote_extra(c, p) if p else c
 
         # canonicalize runs inside apply_batch AFTER LWW dedup — the
         # normalize/NFC/sha256 pipeline prices winning keys, not events
@@ -161,7 +187,7 @@ class CdcSink:
         )
         if not stats.get("skipped"):
             self._last_events = int(stats.get("events") or 0) or None
-        self._extra_cols = promoted  # committed (or already known) now
+        self._extra_cols = promoted_cols()  # committed (or already known) now
         # end-to-end apply wall clock: the table's own latency_ms is
         # stamped BEFORE the snapshot commit and any debt-triggered
         # compaction, so it understates what the stream actually waited

@@ -72,13 +72,23 @@ try:
                mode="replay", max_files_per_trigger=1)
     table = LakeTable.create(spark, os.path.join(root, "table"), n_buckets=32, salt=8)
     t0 = time.monotonic()
-    run_tailer(table, {ev_dir!r}, os.path.join(root, "ckpt"),
-               mode="replay", max_files_per_trigger=1)
+    _q, sink = run_tailer(table, {ev_dir!r}, os.path.join(root, "ckpt"),
+                          mode="replay", max_files_per_trigger=1)
     wall = time.monotonic() - t0
     n = table.read().count()
+    # per-phase breakdown summed over batches: where does the leg's time
+    # go, and which phase stops scaling between N and 4N (VERDICT r5 #3:
+    # diagnose the slow pair member, don't just report the ratio)
+    phases = {{}}
+    applied = getattr(sink, "applied", None) or []
+    for st in applied:
+        for k, v in (st.get("phases") or {{}}).items():
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                phases[k] = round(phases.get(k, 0.0) + v, 3)
     print(json.dumps({{"cores": cores, "events": {events},
                        "replay_sec": round(wall, 2),
                        "events_per_sec": round({events} / wall, 1),
+                       "phases": phases,
                        "final_rows": n}}))
 finally:
     shutil.rmtree(root, ignore_errors=True)
@@ -120,6 +130,46 @@ def _burn(k: int) -> int:  # module-level: must be picklable for workers
     for i in range(k):
         x += i * i
     return x
+
+
+# Per-PAIR host-steal probe (VERDICT r5 / r4 item 3): run-level
+# classification could not tell WHICH pair of a 3-pair run was
+# interfered with — the median then mixed clean and stolen pairs.  A
+# ~3s pure-Python probe right before each pair gives every pair its own
+# independent host-health stamp, and the measurement WAITS (bounded)
+# for the host to come back before burning a 4-minute pair on a dirty
+# window.
+PAIR_PROBE_MIN = float(os.environ.get("ETL_SPARK_SCALE_PROBE_MIN", "0.8"))
+PAIR_PROBE_WAIT = int(os.environ.get("ETL_SPARK_SCALE_PROBE_WAIT", "900"))
+PAIR_PROBE_POLL = int(os.environ.get("ETL_SPARK_SCALE_PROBE_POLL", "60"))
+
+
+def pair_probe(workers: int) -> float:
+    """Quick steal probe: parallel-vs-single pure-compute scaling at
+    ``workers`` processes.  ~3s; independent of the engine and of the
+    0.8 efficiency target's own measurement."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    def rate(w: int) -> float:
+        t0 = time.monotonic()
+        with ProcessPoolExecutor(w) as ex:
+            list(ex.map(_burn, [4_000_000] * w * 2))
+        return w * 2 * 4_000_000 / (time.monotonic() - t0)
+
+    r1 = rate(1)
+    rn = rate(workers)
+    return round(rn / r1 / workers, 3)
+
+
+def wait_for_clean_pair(workers: int) -> float:
+    deadline = time.monotonic() + PAIR_PROBE_WAIT
+    p = pair_probe(workers)
+    while p < PAIR_PROBE_MIN and time.monotonic() < deadline:
+        print(f"    host degraded before pair (probe={p} < {PAIR_PROBE_MIN});"
+              f" retrying in {PAIR_PROBE_POLL}s", file=sys.stderr)
+        time.sleep(PAIR_PROBE_POLL)
+        p = pair_probe(workers)
+    return p
 
 
 def cpu_ceiling(n: int) -> float:
@@ -193,6 +243,26 @@ def write_baseline_md(hist: list[dict], latest_extra: str = "") -> dict:
         if clean
         else None
     )
+    # Pair-granularity pool (r5 protocol): every pair from a clean run
+    # whose own pre-pair probe was clean and whose legs' absolute
+    # throughput was healthy.  Same independence principle as
+    # classify_runs, one level finer — a 3-pair run with one stolen
+    # window contributes its two clean pairs instead of dragging the
+    # run median down.
+    proto = [h for h in hist if h.get("mode") == "interleaved-pairs"]
+    best_n = max((h["eps_n"] for h in proto), default=1)
+    best_n4 = max((h["eps_n4"] for h in proto), default=1)
+    clean_stamps = {h["stamp"] for h in clean}
+    pair_pool = [
+        p["efficiency"]
+        for h in hist
+        if h["stamp"] in clean_stamps
+        for p in h.get("pairs", [])
+        if p.get("probe", 0) >= PAIR_PROBE_MIN
+        and p["eps_n"] >= DEGRADED_ABS_FRAC * best_n
+        and p["eps_n4"] >= DEGRADED_ABS_FRAC * best_n4
+    ]
+    med_pairs = round(statistics.median(pair_pool), 3) if pair_pool else None
 
     def flag(h) -> str:
         if h.get("mode") != "interleaved-pairs":
@@ -239,6 +309,13 @@ itself was < {DEGRADED_CEILING}.
 runs' own per-run MEDIAN pair efficiencies: {med_of_medians}).
 {len(degraded)} degraded + {len(legacy)} legacy-protocol runs stay in
 the ledger below but are excluded from these statistics.
+
+Pair-granularity view (r5 protocol: each pair carries its own pre-pair
+steal probe and leg order alternates): median efficiency over the
+{len(pair_pool)} individually-clean pairs from clean runs =
+**{med_pairs}** (pool: {sorted(pair_pool, reverse=True)}).  Runs
+recorded before the r5 protocol carry no per-pair probes and do not
+enter this pool.
 
 ## Reference run (best clean pair: {best["stamp"]}, {best["events"]:,} events)
 
@@ -303,22 +380,39 @@ def main() -> None:
         # legs see the same host-steal conditions; per-pair efficiency is
         # then a same-conditions ratio.  (Best-of-K per LEVEL is biased:
         # one lucky-fast N trial depresses the ratio even though the 4N
-        # legs never saw those conditions.)
+        # legs never saw those conditions.)  Leg order ALTERNATES per
+        # pair (r5): the N leg runs ~3x longer than the 4N leg, so under
+        # monotone host drift a fixed N-first order systematically
+        # penalizes whichever leg always runs later — the r4 ledger's
+        # declining-across-pairs efficiency pattern.  Alternation makes
+        # drift bias symmetric across pairs instead of one-signed.
         pairs = []
         for t in range(args.trials):
-            print(f"pair {t + 1}/{args.trials}: local[{n}] then local[{n4}]...",
+            probe = wait_for_clean_pair(n4)
+            order = "n_first" if t % 2 == 0 else "n4_first"
+            print(f"pair {t + 1}/{args.trials} (probe={probe}, {order})...",
                   file=sys.stderr)
-            a = replay_at(n, args.events, ev_dir, wev_dir, 1)
-            b = replay_at(n4, args.events, ev_dir, wev_dir, 1)
+            if order == "n_first":
+                a = replay_at(n, args.events, ev_dir, wev_dir, 1)
+                b = replay_at(n4, args.events, ev_dir, wev_dir, 1)
+            else:
+                b = replay_at(n4, args.events, ev_dir, wev_dir, 1)
+                a = replay_at(n, args.events, ev_dir, wev_dir, 1)
             assert a["final_rows"] == b["final_rows"], "states differ across runs!"
             e = b["events_per_sec"] / (4 * a["events_per_sec"])
             print(f"  pair efficiency = {e:.3f}", file=sys.stderr)
-            pairs.append((a, b, e))
+            pairs.append((a, b, e, probe, order))
         # best pair = least host-interfered joint measurement
-        rn, rn4, eff = max(pairs, key=lambda p: p[2])
+        rn, rn4, eff, _, _ = max(pairs, key=lambda p: p[2])
         import statistics
 
         eff_median = statistics.median(p[2] for p in pairs)
+        # pair-level clean median: pairs whose pre-pair probe was clean
+        clean_pair_effs = [round(p[2], 3) for p in pairs if p[3] >= PAIR_PROBE_MIN]
+        med_clean_pairs = (
+            round(statistics.median(clean_pair_effs), 3)
+            if clean_pair_effs else None
+        )
 
         extra = ""
         if args.also_8_32:
@@ -354,6 +448,17 @@ oversubscription), so this pair measures the machine, not the engine.
                 "trials": args.trials, "mode": "interleaved-pairs",
                 "all_pair_efficiencies": [round(p[2], 3) for p in pairs],
                 "median_efficiency": round(eff_median, 3),
+                # r5 pair-level detail: per-pair pre-probe, leg order, and
+                # absolute throughputs, so classification can happen at
+                # pair granularity instead of run granularity
+                "pairs": [
+                    {"probe": p[3], "order": p[4],
+                     "eps_n": p[0]["events_per_sec"],
+                     "eps_n4": p[1]["events_per_sec"],
+                     "efficiency": round(p[2], 3)}
+                    for p in pairs
+                ],
+                "median_clean_pair_efficiency": med_clean_pairs,
             }) + "\n")
         latest_extra = f"""
 ## Latest run ({stamp}) — best of {args.trials} interleaved pairs
@@ -364,7 +469,9 @@ oversubscription), so this pair measures the machine, not the engine.
 | 4N | local[{n4}] | {rn4["events_per_sec"]:,} | {rn4["replay_sec"]} | {rn4["final_rows"]:,} |
 
 Efficiency {eff:.3f}; all pair efficiencies
-{[round(p[2], 3) for p in pairs]}, median {eff_median:.3f}; machine
+{[round(p[2], 3) for p in pairs]}, median {eff_median:.3f};
+per-pair (probe, order): {[(p[3], p[4]) for p in pairs]};
+median of this run's probe-clean pairs {med_clean_pairs}; machine
 pure-compute ceiling this session {ceiling:.3f}
 (engine/ceiling = {min(1.0, eff / ceiling):.3f}).
 

@@ -492,7 +492,12 @@ def test_write_stats_fast_path_matches_scan(spark, tmp_path):
     snap = t.snapshot()
     checked = 0
     for entries in (snap.files, snap.delta_files):
-        dirs = sorted({e.path.split("/bucket=")[0] for e in entries})
+        # single-file deltas (no bucket= layout) can't round-trip through
+        # _scan_written (the bucket column is dropped in the file); their
+        # observed stats are verified by direct read below instead
+        bucketed = [e for e in entries if "/bucket=" in e.path]
+        single = [e for e in entries if "/bucket=" not in e.path]
+        dirs = sorted({e.path.split("/bucket=")[0] for e in bucketed})
         for d in dirs:
             mine = sorted(
                 (e for e in entries if e.path.startswith(d + "/")),
@@ -501,6 +506,29 @@ def test_write_stats_fast_path_matches_scan(spark, tmp_path):
             scanned = t._scan_written(d)
             assert [vars(e) for e in mine] == [vars(e) for e in scanned], d
             checked += len(mine)
+        for e in single:
+            df = spark.read.parquet(os.path.join(t.root, e.path))
+            got = df.agg(
+                F.count("*").alias("rows"),
+                F.sum(
+                    F.when(F.col("_deleted"), F.lit(0)).otherwise(F.lit(1))
+                ).alias("live"),
+                F.min("repo").alias("min_repo"),
+                F.max("repo").alias("max_repo"),
+            ).first()
+            assert e.rows == int(got["rows"])
+            assert e.live_rows == int(got["live"])
+            assert e.min_repo == got["min_repo"]
+            assert e.max_repo == got["max_repo"]
+            assert e.bytes == os.path.getsize(os.path.join(t.root, e.path))
+            real_buckets = {
+                int(r["b"])
+                for r in df.select(
+                    t._bucket_expr(snap).alias("b")
+                ).distinct().collect()
+            }
+            assert real_buckets <= set(e.buckets)
+            checked += 1
     assert checked == len(snap.files) + len(snap.delta_files) > 0
 
 
