@@ -243,20 +243,22 @@ def write_baseline_md(hist: list[dict], latest_extra: str = "") -> dict:
         if clean
         else None
     )
-    # Pair-granularity pool (r5 protocol): every pair from a clean run
-    # whose own pre-pair probe was clean and whose legs' absolute
-    # throughput was healthy.  Same independence principle as
-    # classify_runs, one level finer — a 3-pair run with one stolen
-    # window contributes its two clean pairs instead of dragging the
-    # run median down.
+    # Pair-granularity pool (r5 protocol): every pair, from ANY
+    # interleaved run, whose own pre-pair probe was clean and whose
+    # legs' absolute throughput was healthy.  Same independence
+    # principle as classify_runs, one level finer — and deliberately
+    # NOT gated on the run-level classification: the run ceiling is a
+    # single start-of-run snapshot, so on a fluctuating host it can
+    # condemn a run whose individual pairs each measured a clean window
+    # minutes later (and vice versa).  Per-pair probe + per-pair
+    # absolute throughput are measured AT the pair, which is the whole
+    # point of pair granularity.
     proto = [h for h in hist if h.get("mode") == "interleaved-pairs"]
     best_n = max((h["eps_n"] for h in proto), default=1)
     best_n4 = max((h["eps_n4"] for h in proto), default=1)
-    clean_stamps = {h["stamp"] for h in clean}
     pair_pool = [
         p["efficiency"]
-        for h in hist
-        if h["stamp"] in clean_stamps
+        for h in proto
         for p in h.get("pairs", [])
         if p.get("probe", 0) >= PAIR_PROBE_MIN
         and p["eps_n"] >= DEGRADED_ABS_FRAC * best_n
@@ -312,7 +314,9 @@ the ledger below but are excluded from these statistics.
 
 Pair-granularity view (r5 protocol: each pair carries its own pre-pair
 steal probe and leg order alternates): median efficiency over the
-{len(pair_pool)} individually-clean pairs from clean runs =
+{len(pair_pool)} individually-clean pairs (own probe >= {PAIR_PROBE_MIN},
+own legs' absolute throughput healthy; independent of run-level
+classification, whose ceiling is a single start-of-run snapshot) =
 **{med_pairs}** (pool: {sorted(pair_pool, reverse=True)}).  Runs
 recorded before the r5 protocol carry no per-pair probes and do not
 enter this pool.
