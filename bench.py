@@ -61,11 +61,19 @@ def _burn(k: int) -> int:  # module-level: picklable for pool workers
 
 
 def steal_probe() -> dict:
-    """Machine-speed fingerprint (VERDICT r3 item 3): a pure-Python
-    compute rate at 1 worker and at CPUS workers, measured right before
-    the bench.  Cross-round query-time comparisons are only attributable
-    to code when the probes agree — the r3 +15% uniform shift had no
-    such control and stayed unexplained (host steal vs regression)."""
+    """Machine-speed fingerprint (VERDICT r3 item 3): pure-Python compute
+    rates at 1, CPUS/2, and CPUS workers, measured right before the
+    bench.  Cross-round query-time comparisons are only attributable to
+    code when the probes agree — the r3 +15% uniform shift had no such
+    control and stayed unexplained (host steal vs regression).
+
+    The headline ratio is ``wide_scale`` = rate(CPUS) / (2·rate(CPUS/2)):
+    the single→CPUS ratio is confounded by single-core turbo (measured on
+    a HEALTHY idle host: 16.0 Mops at 1 worker vs 10.3 Mops/core at 32 —
+    a 1→32 'scale' of 0.645 with zero steal), so it is recorded for
+    context only.  Half-width→full-width sees almost the same all-core
+    clock on both legs (13.9 vs 10.3 Mops/core → 0.93 healthy) and
+    collapses when the hypervisor withholds cores from the wide leg."""
     from concurrent.futures import ProcessPoolExecutor
 
     def rate(workers: int) -> float:
@@ -75,18 +83,29 @@ def steal_probe() -> dict:
         return workers * 2 * 4_000_000 / (time.monotonic() - t0)
 
     r1 = rate(1)
+    rh = rate(max(1, CPUS // 2))
     rn = rate(CPUS)
     return {
         "single_mops": round(r1 / 1e6, 1),
+        "half_mops": round(rh / 1e6, 1),
         "parallel_mops": round(rn / 1e6, 1),
+        "wide_scale": round(rn / (2 * rh), 3),
+        # legacy 1→CPUS ratio; turbo-confounded, context only
         "parallel_scale": round(rn / r1 / CPUS, 3),
     }
 
 
 # the bench GATES on its own steal probe (VERDICT r4 #1/#2): r4's
-# headline shipped with parallel_scale=0.355 recorded and nothing
-# acting on it, voiding every cross-round wall-time comparison.
+# headline shipped with the probe showing parallel capacity HALVED
+# (179.8 Mops vs the healthy ~330) and nothing acting on it, voiding
+# every cross-round wall-time comparison.  Two independent gate legs:
+#   ratio  — wide_scale (half→full width) must hold ≥ PROBE_MIN;
+#   absolute — parallel_mops must reach ABS_FRAC of the best capacity
+#     this machine family has ever shown (persisted in
+#     BENCH/probe_ref.json, max-updating), catching uniform steal that
+#     slows both probe legs equally and so leaves every ratio intact.
 PROBE_MIN = float(os.environ.get("ETL_SPARK_BENCH_PROBE_MIN", "0.8"))
+ABS_FRAC = float(os.environ.get("ETL_SPARK_BENCH_ABS_FRAC", "0.6"))
 PROBE_WAIT_SEC = int(os.environ.get("ETL_SPARK_BENCH_PROBE_WAIT", "3600"))
 PROBE_POLL_SEC = int(os.environ.get("ETL_SPARK_BENCH_PROBE_POLL", "120"))
 # end-of-run steal check: absolute parallel Mops must not collapse below
@@ -95,22 +114,51 @@ PROBE_POLL_SEC = int(os.environ.get("ETL_SPARK_BENCH_PROBE_POLL", "120"))
 END_ABS_FRAC = float(os.environ.get("ETL_SPARK_BENCH_END_ABS_FRAC", "0.6"))
 
 
+def _probe_ref_mops() -> float:
+    from etl_spark.benchref import best_mops
+
+    return best_mops(CPUS)
+
+
+def _update_probe_ref(mops: float) -> None:
+    from etl_spark.benchref import update_best_mops
+
+    update_best_mops(CPUS, mops)
+
+
+def _probe_clean(probe: dict, ref: float) -> list[str]:
+    """Empty list = clean; else the reasons the host looks degraded."""
+    reasons = []
+    if probe["wide_scale"] < PROBE_MIN:
+        reasons.append(
+            f"wide_scale {probe['wide_scale']} < {PROBE_MIN}"
+        )
+    if ref and probe["parallel_mops"] < ABS_FRAC * ref:
+        reasons.append(
+            f"parallel {probe['parallel_mops']} Mops < "
+            f"{ABS_FRAC} x machine best {ref}"
+        )
+    return reasons
+
+
 def wait_for_clean_host() -> dict:
-    """Retry the steal probe until the host delivers ≥PROBE_MIN of its
-    cores (bounded by PROBE_WAIT_SEC).  If the window expires, proceed
-    anyway but the caller stamps the result ``degraded`` so no reader
-    ever mistakes host steal for an engine regression."""
+    """Retry the steal probe until both gate legs pass (bounded by
+    PROBE_WAIT_SEC).  If the window expires, proceed anyway but the
+    caller stamps the result ``degraded`` so no reader ever mistakes
+    host steal for an engine regression."""
     deadline = time.monotonic() + PROBE_WAIT_SEC
     probe = steal_probe()
-    while probe["parallel_scale"] < PROBE_MIN and time.monotonic() < deadline:
+    _update_probe_ref(probe["parallel_mops"])
+    while _probe_clean(probe, _probe_ref_mops()) and time.monotonic() < deadline:
         print(
-            f"  host degraded (parallel_scale={probe['parallel_scale']}"
-            f" < {PROBE_MIN}); retrying in {PROBE_POLL_SEC}s"
+            f"  host degraded ({'; '.join(_probe_clean(probe, _probe_ref_mops()))});"
+            f" retrying in {PROBE_POLL_SEC}s"
             f" (up to {int(deadline - time.monotonic())}s left)",
             file=sys.stderr,
         )
         time.sleep(PROBE_POLL_SEC)
         probe = steal_probe()
+        _update_probe_ref(probe["parallel_mops"])
     return probe
 
 
@@ -408,7 +456,8 @@ def main() -> None:
             # engine signal — the host withheld cores during the run
             # (start-probe gate failed even after the retry window, or
             # absolute parallel capacity collapsed by the end probe)
-            "degraded": probe["parallel_scale"] < PROBE_MIN or end_collapsed,
+            "degraded": bool(_probe_clean(probe, _probe_ref_mops()))
+            or end_collapsed,
             "query_policy": "best_of_2",
         }
         print(json.dumps(result))

@@ -125,47 +125,58 @@ def replay_at(cores: int, events: int, ev_dir: str, wev_dir: str,
     return best
 
 
-def _burn(k: int) -> int:  # module-level: must be picklable for workers
-    x = 0
-    for i in range(k):
-        x += i * i
-    return x
-
-
 # Per-PAIR host-steal probe (VERDICT r5 / r4 item 3): run-level
 # classification could not tell WHICH pair of a 3-pair run was
 # interfered with — the median then mixed clean and stolen pairs.  A
-# ~3s pure-Python probe right before each pair gives every pair its own
-# independent host-health stamp, and the measurement WAITS (bounded)
-# for the host to come back before burning a 4-minute pair on a dirty
-# window.
+# ~3s probe right before each pair gives every pair its own independent
+# host-health stamp, and the measurement WAITS (bounded) for the host
+# to come back before burning a 4-minute pair on a dirty window.
+#
+# The probe is TURBO-ROBUST (see etl_spark/benchref.py): the old
+# single→N ratio read 0.65 on a measured-healthy host because one
+# worker boosts to 16.0 Mops while N run at ~10.3 Mops/core.  Two
+# independent legs instead: half→full-width ratio (>= PAIR_PROBE_MIN)
+# and an absolute full-width floor vs the best capacity this machine
+# family ever showed (catches UNIFORM steal, which leaves every ratio
+# intact).  Each pair's verdict is stamped AT MEASUREMENT TIME into the
+# ledger (``clean``/``clean_reasons``) so a faster future host can
+# never retroactively reclassify an old pair.
 PAIR_PROBE_MIN = float(os.environ.get("ETL_SPARK_SCALE_PROBE_MIN", "0.8"))
+PAIR_ABS_FRAC = float(os.environ.get("ETL_SPARK_SCALE_ABS_FRAC", "0.6"))
 PAIR_PROBE_WAIT = int(os.environ.get("ETL_SPARK_SCALE_PROBE_WAIT", "900"))
 PAIR_PROBE_POLL = int(os.environ.get("ETL_SPARK_SCALE_PROBE_POLL", "60"))
 
 
-def pair_probe(workers: int) -> float:
-    """Quick steal probe: parallel-vs-single pure-compute scaling at
-    ``workers`` processes.  ~3s; independent of the engine and of the
-    0.8 efficiency target's own measurement."""
-    from concurrent.futures import ProcessPoolExecutor
+def _benchref():
+    sys.path.insert(0, REPO)
+    from etl_spark import benchref
 
-    def rate(w: int) -> float:
-        t0 = time.monotonic()
-        with ProcessPoolExecutor(w) as ex:
-            list(ex.map(_burn, [4_000_000] * w * 2))
-        return w * 2 * 4_000_000 / (time.monotonic() - t0)
-
-    r1 = rate(1)
-    rn = rate(workers)
-    return round(rn / r1 / workers, 3)
+    return benchref
 
 
-def wait_for_clean_pair(workers: int) -> float:
+def pair_probe(workers: int) -> dict:
+    """~3s steal probe at ``workers`` width; independent of the engine
+    and of the 0.8 efficiency target's own measurement.  Returns the
+    probe dict extended with the machine reference and the stamped
+    verdict."""
+    br = _benchref()
+    p = br.probe(workers)
+    br.update_best_mops(workers, p["mops"])
+    ref = br.best_mops(workers)
+    reasons = []
+    if p["ratio"] < PAIR_PROBE_MIN:
+        reasons.append(f"ratio {p['ratio']} < {PAIR_PROBE_MIN}")
+    if ref and p["mops"] < PAIR_ABS_FRAC * ref:
+        reasons.append(f"mops {p['mops']} < {PAIR_ABS_FRAC} x best {ref}")
+    return {**p, "ref_mops": ref, "clean": not reasons,
+            "clean_reasons": reasons}
+
+
+def wait_for_clean_pair(workers: int) -> dict:
     deadline = time.monotonic() + PAIR_PROBE_WAIT
     p = pair_probe(workers)
-    while p < PAIR_PROBE_MIN and time.monotonic() < deadline:
-        print(f"    host degraded before pair (probe={p} < {PAIR_PROBE_MIN});"
+    while not p["clean"] and time.monotonic() < deadline:
+        print(f"    host degraded before pair ({'; '.join(p['clean_reasons'])});"
               f" retrying in {PAIR_PROBE_POLL}s", file=sys.stderr)
         time.sleep(PAIR_PROBE_POLL)
         p = pair_probe(workers)
@@ -173,16 +184,14 @@ def wait_for_clean_pair(workers: int) -> float:
 
 
 def cpu_ceiling(n: int) -> float:
-    """Machine's own N->4N pure-compute scaling (python int loop)."""
-    from concurrent.futures import ProcessPoolExecutor
+    """Machine's own N->4N pure-compute scaling (python int loop).
 
-    def rate(workers: int) -> float:
-        t0 = time.monotonic()
-        with ProcessPoolExecutor(workers) as ex:
-            list(ex.map(_burn, [6_000_000] * workers * 2))
-        return workers * 2 * 6_000_000 / (time.monotonic() - t0)
-
-    return rate(4 * n) / (4 * rate(n))
+    Deliberately INCLUDES the turbo penalty — per-core clocks drop as
+    more cores light up, and the engine's N->4N legs pay exactly that
+    same penalty, so this is the fair comparator for pair efficiency
+    (measured healthy 2->8 ceiling: ~0.91)."""
+    br = _benchref()
+    return br.compute_rate(4 * n, 6_000_000) / (4 * br.compute_rate(n, 6_000_000))
 
 
 # Degraded-run classification — INDEPENDENT of the 0.8 efficiency
@@ -200,22 +209,47 @@ DEGRADED_ABS_FRAC = 0.6
 DEGRADED_CEILING = 0.8
 
 
+def _stamped(h: dict) -> bool:
+    """True for runs whose pairs carry measurement-time clean stamps
+    (r5 turbo-robust protocol)."""
+    return any("clean" in p for p in h.get("pairs", []))
+
+
 def classify_runs(hist: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
     """(clean, degraded, legacy) — legacy = pre-interleaved-protocol runs
-    (kept in the table, excluded from the headline statistics)."""
+    (kept in the table, excluded from the headline statistics).
+
+    Stamped runs (r5 protocol) are classified by their own pairs'
+    measurement-time verdicts: a run is clean iff at least one pair was
+    stamped clean (its headline efficiency comes from clean pairs).
+    Earlier interleaved runs carry no stamps and keep the heuristic —
+    with the absolute-throughput bests computed over UNSTAMPED runs
+    only, so a faster future host generation can never retroactively
+    reclassify a historical run that was clean on its own hardware."""
     proto = [h for h in hist if h.get("mode") == "interleaved-pairs"]
     legacy = [h for h in hist if h.get("mode") != "interleaved-pairs"]
-    best_n = max((h["eps_n"] for h in proto), default=1)
-    best_n4 = max((h["eps_n4"] for h in proto), default=1)
+    heur = [h for h in proto if not _stamped(h)]
+    best_n = max((h["eps_n"] for h in heur), default=1)
+    best_n4 = max((h["eps_n4"] for h in heur), default=1)
     clean, degraded = [], []
     for h in proto:
         reasons = []
-        if h["eps_n"] < DEGRADED_ABS_FRAC * best_n:
-            reasons.append(f"eps@N {h['eps_n']:.0f} < {DEGRADED_ABS_FRAC} x best {best_n:.0f}")
-        if h["eps_n4"] < DEGRADED_ABS_FRAC * best_n4:
-            reasons.append(f"eps@4N {h['eps_n4']:.0f} < {DEGRADED_ABS_FRAC} x best {best_n4:.0f}")
-        if h["ceiling"] < DEGRADED_CEILING:
-            reasons.append(f"ceiling {h['ceiling']} < {DEGRADED_CEILING}")
+        if _stamped(h):
+            if not any(p.get("clean") for p in h["pairs"]):
+                reasons.append(
+                    "no clean pair: "
+                    + "; ".join(
+                        r for p in h["pairs"]
+                        for r in p.get("clean_reasons", [])
+                    )
+                )
+        else:
+            if h["eps_n"] < DEGRADED_ABS_FRAC * best_n:
+                reasons.append(f"eps@N {h['eps_n']:.0f} < {DEGRADED_ABS_FRAC} x best {best_n:.0f}")
+            if h["eps_n4"] < DEGRADED_ABS_FRAC * best_n4:
+                reasons.append(f"eps@4N {h['eps_n4']:.0f} < {DEGRADED_ABS_FRAC} x best {best_n4:.0f}")
+            if h["ceiling"] < DEGRADED_CEILING:
+                reasons.append(f"ceiling {h['ceiling']} < {DEGRADED_CEILING}")
         (degraded if reasons else clean).append({**h, "degraded_reasons": reasons})
     return clean, degraded, legacy
 
@@ -244,25 +278,22 @@ def write_baseline_md(hist: list[dict], latest_extra: str = "") -> dict:
         else None
     )
     # Pair-granularity pool (r5 protocol): every pair, from ANY
-    # interleaved run, whose own pre-pair probe was clean and whose
-    # legs' absolute throughput was healthy.  Same independence
-    # principle as classify_runs, one level finer — and deliberately
-    # NOT gated on the run-level classification: the run ceiling is a
-    # single start-of-run snapshot, so on a fluctuating host it can
-    # condemn a run whose individual pairs each measured a clean window
-    # minutes later (and vice versa).  Per-pair probe + per-pair
-    # absolute throughput are measured AT the pair, which is the whole
-    # point of pair granularity.
+    # interleaved run, whose own pre-pair probe stamped it clean at
+    # measurement time (ratio + absolute legs, etl_spark/benchref.py).
+    # Same independence principle as classify_runs, one level finer —
+    # and deliberately NOT gated on the run-level classification: the
+    # run ceiling is a single start-of-run snapshot, so on a
+    # fluctuating host it can condemn a run whose individual pairs each
+    # measured a clean window minutes later (and vice versa).  The
+    # stamp is measured AT the pair, which is the whole point of pair
+    # granularity — and never recomputed, so a faster future host can't
+    # retroactively reclassify it.
     proto = [h for h in hist if h.get("mode") == "interleaved-pairs"]
-    best_n = max((h["eps_n"] for h in proto), default=1)
-    best_n4 = max((h["eps_n4"] for h in proto), default=1)
     pair_pool = [
         p["efficiency"]
         for h in proto
         for p in h.get("pairs", [])
-        if p.get("probe", 0) >= PAIR_PROBE_MIN
-        and p["eps_n"] >= DEGRADED_ABS_FRAC * best_n
-        and p["eps_n4"] >= DEGRADED_ABS_FRAC * best_n4
+        if p.get("clean")
     ]
     med_pairs = round(statistics.median(pair_pool), 3) if pair_pool else None
 
@@ -314,9 +345,11 @@ the ledger below but are excluded from these statistics.
 
 Pair-granularity view (r5 protocol: each pair carries its own pre-pair
 steal probe and leg order alternates): median efficiency over the
-{len(pair_pool)} individually-clean pairs (own probe >= {PAIR_PROBE_MIN},
-own legs' absolute throughput healthy; independent of run-level
-classification, whose ceiling is a single start-of-run snapshot) =
+{len(pair_pool)} individually-clean pairs (own turbo-robust probe
+stamped clean at measurement time — half→full ratio >= {PAIR_PROBE_MIN}
+AND absolute capacity >= {PAIR_ABS_FRAC} x the machine family's best;
+independent of run-level classification, whose ceiling is a single
+start-of-run snapshot) =
 **{med_pairs}** (pool: {sorted(pair_pool, reverse=True)}).  Runs
 recorded before the r5 protocol carry no per-pair probes and do not
 enter this pool.
@@ -406,13 +439,15 @@ def main() -> None:
             e = b["events_per_sec"] / (4 * a["events_per_sec"])
             print(f"  pair efficiency = {e:.3f}", file=sys.stderr)
             pairs.append((a, b, e, probe, order))
-        # best pair = least host-interfered joint measurement
-        rn, rn4, eff, _, _ = max(pairs, key=lambda p: p[2])
+        # best pair = least host-interfered joint measurement, preferring
+        # pairs whose own probe stamped them clean
+        pick_pool = [p for p in pairs if p[3]["clean"]] or pairs
+        rn, rn4, eff, _, _ = max(pick_pool, key=lambda p: p[2])
         import statistics
 
         eff_median = statistics.median(p[2] for p in pairs)
         # pair-level clean median: pairs whose pre-pair probe was clean
-        clean_pair_effs = [round(p[2], 3) for p in pairs if p[3] >= PAIR_PROBE_MIN]
+        clean_pair_effs = [round(p[2], 3) for p in pairs if p[3]["clean"]]
         med_clean_pairs = (
             round(statistics.median(clean_pair_effs), 3)
             if clean_pair_effs else None
@@ -452,11 +487,15 @@ oversubscription), so this pair measures the machine, not the engine.
                 "trials": args.trials, "mode": "interleaved-pairs",
                 "all_pair_efficiencies": [round(p[2], 3) for p in pairs],
                 "median_efficiency": round(eff_median, 3),
-                # r5 pair-level detail: per-pair pre-probe, leg order, and
-                # absolute throughputs, so classification can happen at
-                # pair granularity instead of run granularity
+                # r5 pair-level detail: per-pair pre-probe (ratio +
+                # absolute + measurement-time clean stamp), leg order,
+                # and absolute throughputs, so classification happens at
+                # pair granularity and is never recomputed retroactively
                 "pairs": [
-                    {"probe": p[3], "order": p[4],
+                    {"probe": p[3]["ratio"], "probe_mops": p[3]["mops"],
+                     "ref_mops": p[3]["ref_mops"], "clean": p[3]["clean"],
+                     "clean_reasons": p[3]["clean_reasons"],
+                     "order": p[4],
                      "eps_n": p[0]["events_per_sec"],
                      "eps_n4": p[1]["events_per_sec"],
                      "efficiency": round(p[2], 3)}
@@ -474,7 +513,8 @@ oversubscription), so this pair measures the machine, not the engine.
 
 Efficiency {eff:.3f}; all pair efficiencies
 {[round(p[2], 3) for p in pairs]}, median {eff_median:.3f};
-per-pair (probe, order): {[(p[3], p[4]) for p in pairs]};
+per-pair (probe ratio, Mops, clean, order):
+{[(p[3]["ratio"], p[3]["mops"], p[3]["clean"], p[4]) for p in pairs]};
 median of this run's probe-clean pairs {med_clean_pairs}; machine
 pure-compute ceiling this session {ceiling:.3f}
 (engine/ceiling = {min(1.0, eff / ceiling):.3f}).
