@@ -398,16 +398,16 @@ class LakeTable:
                                ``mor_min_amplification`` × delta keys);
                                None reads the table property
                                ``write_mode``.
-        expected_rows        — optional SIZE HINT (e.g. the streaming
-                               sink's previous batch size).  When the
-                               hint says "small batch", the lineage
-                               stats job is submitted on a background
-                               thread and overlaps the driver-side plan
-                               analysis + bucket histogram job — pure
-                               fixed-cost overlap at steady-state tail
-                               sizes.  A wrong hint only costs the
-                               optimistic work: the stats result is
-                               still authoritative for every decision.
+        expected_rows        — accepted for caller compatibility; no
+                               longer drives any behavior.  An earlier
+                               build used it to overlap the stats job on
+                               a background thread; the resulting
+                               CONCURRENT AQE SQL executions hit a
+                               lost-stage-event race in Spark's
+                               AdaptiveSparkPlanExec (the stream hung
+                               forever in withFinalPlanUpdate with an
+                               idle JVM), so every per-batch job now
+                               runs on the single foreachBatch chain.
         Returns a stats dict (also the metrics-table rows' source).
         """
         t0 = time.monotonic()
@@ -510,38 +510,18 @@ class LakeTable:
             finally:
                 stats_df.unpersist()
 
-        # -- optimistic small-batch overlap (steady-state tail): the stats
-        # job is executor work, while staging + canonicalize + histogram
-        # construction is mostly driver-side Catalyst analysis — with a
-        # size hint they run CONCURRENTLY instead of back to back.  The
-        # optimistic work assumes (a) the batch is genuinely small (stage
-        # as localCheckpoint, not parquet) and (b) no hot-repo promotion
-        # this batch (bucket expr computed against the PRE-promotion
-        # snapshot).  Both assumptions are re-checked against the
-        # authoritative stats result below; a wrong hint falls back to
-        # the sequential path and only the optimistic work is wasted.
+        # SINGLE-CHAIN job discipline: an earlier build overlapped this
+        # stats job on a background thread with the staging/histogram
+        # work.  The two concurrent AQE SQL executions (background
+        # collect + the foreachBatch chain's staged write, which runs ON
+        # the stream-execution JVM thread under pinned-thread Py4J) hit
+        # a lost-stage-event race inside Spark's AdaptiveSparkPlanExec:
+        # withFinalPlanUpdate's queue.take never received its stage
+        # event and the stream hung forever on an otherwise idle JVM
+        # (jstack-verified).  Latency wins must come from FUSING jobs on
+        # the one chain, never from overlapping SQL executions.
         small_rows = int(snap.properties.get("stage_small_rows", "25000"))
-        optimistic = (
-            expected_rows is not None and 0 < expected_rows <= small_rows
-        )
-        opt_staged = opt_d = opt_bucket = opt_bucket_rows = None
-        if optimistic:
-            fut = self._stats_pool().submit(_collect_stats)
-            try:
-                opt_staged = d.localCheckpoint(eager=False)
-                opt_d = (
-                    canonicalizer(opt_staged)
-                    if canonicalizer is not None
-                    else opt_staged
-                )
-                opt_bucket = self._bucket_expr(snap)
-                opt_bucket_rows = self._bucket_histogram(opt_staged, opt_bucket)
-            except BaseException:
-                fut.result()  # drain the background job before re-raising
-                raise
-            rows = fut.result()
-        else:
-            rows = _collect_stats()
+        rows = _collect_stats()
         part_rows = [r for r in rows if r["part_id"] is not None]
         repo_rows = [r for r in rows if r["part_id"] is None]
         batch_wm = {int(r["part_id"]): int(r["end_seq"]) for r in part_rows}
@@ -584,30 +564,15 @@ class LakeTable:
         # winners as plain row blocks (no columnar encode) on their
         # first consumer instead.  Same reuse semantics either way:
         # every consumer below scans one materialization. -----------------
-        # The optimistic pre-computed stage/histogram is adopted only when
-        # the authoritative stats confirm both hint assumptions: batch is
-        # small AND no promotion (promotion changes the bucket expr, so
-        # the pre-promotion histogram would bucket wrong).
-        if (
-            optimistic
-            and opt_bucket_rows is not None
-            and not promoted
-            and n_events <= small_rows
-        ):
-            staged, d, bucket = opt_staged, opt_d, opt_bucket
-            bucket_rows = opt_bucket_rows
-            phases["overlap"] = True
-            tp = mark("stage_delta", tp)
+        if n_events <= small_rows:
+            staged = d.localCheckpoint(eager=False)
         else:
-            if n_events <= small_rows:
-                staged = d.localCheckpoint(eager=False)
-            else:
-                d.write.mode("overwrite").parquet(stage_dir)
-                staged = self.spark.read.parquet(stage_dir)
-            d = canonicalizer(staged) if canonicalizer is not None else staged
-            tp = mark("stage_delta", tp)
-            bucket = self._bucket_expr(new_snap)
-            bucket_rows = self._bucket_histogram(staged, bucket)
+            d.write.mode("overwrite").parquet(stage_dir)
+            staged = self.spark.read.parquet(stage_dir)
+        d = canonicalizer(staged) if canonicalizer is not None else staged
+        tp = mark("stage_delta", tp)
+        bucket = self._bucket_expr(new_snap)
+        bucket_rows = self._bucket_histogram(staged, bucket)
         touched = {int(r["bucket"]) for r in bucket_rows} | migrate_buckets
         delta_bytes = sum(int(r["bytes"] or 0) for r in bucket_rows)
         tp = mark("bucket_job", tp)
@@ -1179,21 +1144,6 @@ class LakeTable:
         child.properties.pop("rolled_back_from", None)
         child.properties.pop("restored_version", None)
         return child
-
-    def _stats_pool(self):
-        """Lazy single-thread pool for the overlapped stats job.  One
-        thread suffices: apply_batch is single-writer by contract, and
-        the pool is reused across batches so the per-batch cost is a
-        queue hop, not a thread spawn."""
-        pool = getattr(self, "_stats_pool_inst", None)
-        if pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="lake-stats"
-            )
-            self._stats_pool_inst = pool
-        return pool
 
     def _bucket_histogram(self, staged: DataFrame, bucket) -> list:
         """Per-bucket (count, bytes) over the staged LWW winners.

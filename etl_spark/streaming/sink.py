@@ -70,24 +70,6 @@ class CdcSink:
         self._offset: int | None = None
         self._extra_cols: list[str] | None = None
         self._stream_id: str | None = None
-        # previous committed batch's admitted-event count: the size hint
-        # that lets apply_batch overlap its stats job with plan analysis
-        # on steady-state small batches (a wrong hint is only optimistic
-        # work wasted — the stats result stays authoritative)
-        self._last_events: int | None = None
-        self._keys_pool_inst = None
-
-    def _keys_pool(self):
-        """Lazy single-thread pool for the extra-keys observation job —
-        separate from the table's stats pool so the two background Spark
-        jobs run concurrently rather than queueing on one thread."""
-        if self._keys_pool_inst is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._keys_pool_inst = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="cdc-extra-keys"
-            )
-        return self._keys_pool_inst
 
     def _offset_key(self) -> str:
         """Table-property key for this stream's epoch→batch-id offset.
@@ -155,39 +137,32 @@ class CdcSink:
         # path's only pre-merge shuffle is the LWW window itself.
         # additive schema evolution: already-promoted columns (tracked
         # locally; seeded from the snapshot on the first batch) + any new
-        # extra keys observed in this batch.  The key-observation job is
-        # submitted to the sink's own background thread and resolved
-        # LAZILY inside the canonicalizer: apply_batch's stats job and
-        # staging don't need the promoted set, so at steady-state
-        # micro-batch sizes the whole extra-keys scan overlaps them
-        # instead of adding a serial job submission to every batch.
-        keys_fut = (
-            self._keys_pool().submit(observed_extra_keys, batch_df)
-            if self.auto_promote_extra
-            else None
-        )
-
-        def promoted_cols() -> list[str]:
-            new = keys_fut.result() if keys_fut is not None else []
-            return list(self._extra_cols) + [
-                k for k in new if k not in self._extra_cols
-            ]
+        # extra keys observed in this batch.  The observation job runs
+        # SYNCHRONOUSLY on the foreachBatch chain — an earlier build
+        # submitted it from a background thread to overlap apply_batch's
+        # stats job, and the resulting concurrent AQE SQL executions hit
+        # a lost-stage-event race in Spark's AdaptiveSparkPlanExec (the
+        # stream hung forever inside withFinalPlanUpdate's queue.take
+        # with an otherwise idle JVM).  Every Spark job this engine runs
+        # per batch is single-chain by design now; latency is recovered
+        # by fusing jobs, never by overlapping SQL executions.
+        new = observed_extra_keys(batch_df) if self.auto_promote_extra else []
+        promoted = list(self._extra_cols) + [
+            k for k in new if k not in self._extra_cols
+        ]
 
         def canon(df: DataFrame) -> DataFrame:
             c = canonicalize(df, nfc=self.nfc)
-            p = promoted_cols()
-            return promote_extra(c, p) if p else c
+            return promote_extra(c, promoted) if promoted else c
 
         # canonicalize runs inside apply_batch AFTER LWW dedup — the
         # normalize/NFC/sha256 pipeline prices winning keys, not events
         t_apply = time.monotonic()
         stats = self.table.apply_batch(
             batch_df, batch_id, delivery=self.delivery, canonicalizer=canon,
-            set_properties=set_props, expected_rows=self._last_events,
+            set_properties=set_props,
         )
-        if not stats.get("skipped"):
-            self._last_events = int(stats.get("events") or 0) or None
-        self._extra_cols = promoted_cols()  # committed (or already known) now
+        self._extra_cols = promoted  # committed (or already known) now
         # end-to-end apply wall clock: the table's own latency_ms is
         # stamped BEFORE the snapshot commit and any debt-triggered
         # compaction, so it understates what the stream actually waited

@@ -516,9 +516,10 @@ def test_targeted_fold_splits_partial_delta(spark, tmp_path):
 
 
 def test_expected_rows_hint_is_result_invariant(spark, tmp_path):
-    """The size hint only changes scheduling (stats job overlapped with
-    plan analysis), never results: with a hint, a wrong hint, and no
-    hint, the committed state and manifests must be identical."""
+    """The size hint is accepted for caller compatibility and is inert
+    (the overlapped-stats scheduling it once drove was removed after the
+    concurrent-AQE hang): with a hint, a wrong hint, and no hint, the
+    committed state and manifests must be identical."""
     tables = {}
     for name, hints in {
         "nohint": [None, None, None],
