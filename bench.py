@@ -85,6 +85,14 @@ def steal_probe() -> dict:
     r1 = rate(1)
     rh = rate(max(1, CPUS // 2))
     rn = rate(CPUS)
+    # deliverable aggregate memcpy bandwidth: the CPU legs are blind to
+    # hypervisor DRAM/IPC throttling, which is the steal mode that
+    # actually dominates this VM's bench variance (shuffles, stage
+    # writes, and parquet encodes are memory streams, not ALU loops)
+    from etl_spark.benchref import membw_rate, update_best_membw
+
+    bw = membw_rate(max(1, CPUS // 4))
+    update_best_membw(max(1, CPUS // 4), bw)
     return {
         "single_mops": round(r1 / 1e6, 1),
         "half_mops": round(rh / 1e6, 1),
@@ -92,6 +100,7 @@ def steal_probe() -> dict:
         "wide_scale": round(rn / (2 * rh), 3),
         # legacy 1→CPUS ratio; turbo-confounded, context only
         "parallel_scale": round(rn / r1 / CPUS, 3),
+        "membw_gbps": bw,
     }
 
 
@@ -106,6 +115,11 @@ def steal_probe() -> dict:
 #     slows both probe legs equally and so leaves every ratio intact.
 PROBE_MIN = float(os.environ.get("ETL_SPARK_BENCH_PROBE_MIN", "0.8"))
 ABS_FRAC = float(os.environ.get("ETL_SPARK_BENCH_ABS_FRAC", "0.6"))
+# memcpy-bandwidth floor (fraction of the machine family's best): the
+# CPU legs are blind to hypervisor DRAM/IPC throttling — the steal mode
+# that bandwidth-starved the 2026-08-18 scaling pairs while every CPU
+# ratio stayed healthy
+MEMBW_FRAC = float(os.environ.get("ETL_SPARK_BENCH_MEMBW_FRAC", "0.6"))
 PROBE_WAIT_SEC = int(os.environ.get("ETL_SPARK_BENCH_PROBE_WAIT", "3600"))
 PROBE_POLL_SEC = int(os.environ.get("ETL_SPARK_BENCH_PROBE_POLL", "120"))
 # end-of-run steal check: absolute parallel Mops must not collapse below
@@ -138,6 +152,15 @@ def _probe_clean(probe: dict, ref: float) -> list[str]:
             f"parallel {probe['parallel_mops']} Mops < "
             f"{ABS_FRAC} x machine best {ref}"
         )
+    if "membw_gbps" in probe:
+        from etl_spark.benchref import best_membw
+
+        ref_bw = best_membw(max(1, CPUS // 4))
+        if ref_bw and probe["membw_gbps"] < MEMBW_FRAC * ref_bw:
+            reasons.append(
+                f"membw {probe['membw_gbps']} GB/s < "
+                f"{MEMBW_FRAC} x machine best {ref_bw}"
+            )
     return reasons
 
 

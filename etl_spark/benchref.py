@@ -61,27 +61,95 @@ def probe(workers: int) -> dict:
     }
 
 
-def best_mops(workers: int) -> float:
-    """Best full-width rate ever recorded for this worker count (0.0 when
-    no reference exists yet — the absolute gate then abstains)."""
+# ---------------------------------------------------------------------------
+# Memory-bandwidth probe.  The CPU probe above is blind to the failure
+# mode that actually dominates this VM: the hypervisor can throttle
+# DRAM/IPC bandwidth while leaving compute untouched (a scaling pair
+# measured ratio 0.908 / healthy Mops while the replay's 8-core leg ran
+# at ~0.4x its ledger best — every heavy replay phase is a shuffle or a
+# columnar encode, i.e. a memory stream, not an ALU loop).  A parallel
+# memcpy probe measures the DELIVERABLE aggregate copy bandwidth and is
+# gated the same way as Mops: against the best this machine family has
+# ever shown (max-updating, persisted).
+# ---------------------------------------------------------------------------
+_MEMBW_LOOPS = 8  # 2 copies per loop -> 16 x mb MB copied per timed call
+
+# per-process buffer cache: the FIRST map over the pool allocates +
+# page-faults the buffers, the SECOND (timed) map only streams them
+_BUFS: dict[int, tuple] = {}
+
+
+def _copy_burn(mb: int) -> float:
+    import numpy as np
+
+    if mb not in _BUFS:
+        n = mb * (1 << 20) // 8
+        a = np.arange(n, dtype=np.int64)  # arange faults every page
+        b = np.empty_like(a)
+        np.copyto(b, a)
+        _BUFS[mb] = (a, b)
+        return 0.0  # warm-up call: no bytes counted
+    a, b = _BUFS[mb]
+    for _ in range(_MEMBW_LOOPS):
+        np.copyto(b, a)
+        np.copyto(a, b)
+    return 2 * _MEMBW_LOOPS * mb  # MB copied
+
+
+def membw_rate(workers: int, mb: int = 128) -> float:
+    """Aggregate parallel memcpy rate (GB/s of bytes copied) at
+    ``workers`` processes.  A worker that missed its warm-up (pool
+    scheduling is not strictly 1:1) allocates inside the timed window
+    and reports 0 MB — undercounting, never overcounting, so the gate
+    errs toward flagging a pair dirty rather than passing a stolen one."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(workers) as ex:
+        list(ex.map(_copy_burn, [mb] * workers))  # allocate + fault
+        t0 = time.monotonic()
+        done = list(ex.map(_copy_burn, [mb] * workers))
+        dt = time.monotonic() - t0
+    return round(sum(done) / 1024 / dt, 2)
+
+
+def _best(metric: str, workers: int) -> float:
     try:
         with open(PROBE_REF) as f:
-            return float(json.load(f)["best_mops"][str(workers)])
+            return float(json.load(f)[metric][str(workers)])
     except (OSError, ValueError, KeyError):
         return 0.0
 
 
-def update_best_mops(workers: int, mops: float) -> None:
+def _update_best(metric: str, workers: int, value: float) -> None:
     try:
         with open(PROBE_REF) as f:
             data = json.load(f)
     except (OSError, ValueError):
         data = {}
-    table = data.setdefault("best_mops", {})
-    if mops > float(table.get(str(workers), 0.0)):
-        table[str(workers)] = round(mops, 1)
+    table = data.setdefault(metric, {})
+    if value > float(table.get(str(workers), 0.0)):
+        table[str(workers)] = round(value, 1)
         os.makedirs(os.path.dirname(PROBE_REF), exist_ok=True)
         tmp = PROBE_REF + ".tmp"
         with open(tmp, "w") as f:
             json.dump(data, f, indent=1, sort_keys=True)
         os.replace(tmp, PROBE_REF)
+
+
+def best_mops(workers: int) -> float:
+    """Best full-width rate ever recorded for this worker count (0.0 when
+    no reference exists yet — the absolute gate then abstains)."""
+    return _best("best_mops", workers)
+
+
+def update_best_mops(workers: int, mops: float) -> None:
+    _update_best("best_mops", workers, mops)
+
+
+def best_membw(workers: int) -> float:
+    """Best aggregate memcpy GB/s ever recorded (0.0 = no reference yet)."""
+    return _best("best_membw", workers)
+
+
+def update_best_membw(workers: int, gbps: float) -> None:
+    _update_best("best_membw", workers, round(gbps, 1))

@@ -143,6 +143,13 @@ def replay_at(cores: int, events: int, ev_dir: str, wev_dir: str,
 # never retroactively reclassify an old pair.
 PAIR_PROBE_MIN = float(os.environ.get("ETL_SPARK_SCALE_PROBE_MIN", "0.8"))
 PAIR_ABS_FRAC = float(os.environ.get("ETL_SPARK_SCALE_ABS_FRAC", "0.6"))
+# memory-bandwidth floor (fraction of the machine family's best
+# aggregate memcpy GB/s): the CPU probe is blind to hypervisor
+# bandwidth throttling, which is the failure mode that actually bit —
+# a pair measured probe-ratio 0.908 / healthy Mops while its 8-core
+# replay leg ran at 0.36x the ledger best because every heavy replay
+# phase (LWW shuffle, stage write, parquet encode) is a memory stream
+PAIR_MEMBW_FRAC = float(os.environ.get("ETL_SPARK_SCALE_MEMBW_FRAC", "0.6"))
 PAIR_PROBE_WAIT = int(os.environ.get("ETL_SPARK_SCALE_PROBE_WAIT", "900"))
 PAIR_PROBE_POLL = int(os.environ.get("ETL_SPARK_SCALE_PROBE_POLL", "60"))
 
@@ -163,13 +170,20 @@ def pair_probe(workers: int) -> dict:
     p = br.probe(workers)
     br.update_best_mops(workers, p["mops"])
     ref = br.best_mops(workers)
+    membw = br.membw_rate(workers)
+    br.update_best_membw(workers, membw)
+    ref_bw = br.best_membw(workers)
     reasons = []
     if p["ratio"] < PAIR_PROBE_MIN:
         reasons.append(f"ratio {p['ratio']} < {PAIR_PROBE_MIN}")
     if ref and p["mops"] < PAIR_ABS_FRAC * ref:
         reasons.append(f"mops {p['mops']} < {PAIR_ABS_FRAC} x best {ref}")
-    return {**p, "ref_mops": ref, "clean": not reasons,
-            "clean_reasons": reasons}
+    if ref_bw and membw < PAIR_MEMBW_FRAC * ref_bw:
+        reasons.append(
+            f"membw {membw} GB/s < {PAIR_MEMBW_FRAC} x best {ref_bw}"
+        )
+    return {**p, "ref_mops": ref, "membw": membw, "ref_membw": ref_bw,
+            "clean": not reasons, "clean_reasons": reasons}
 
 
 def wait_for_clean_pair(workers: int) -> dict:
@@ -215,6 +229,20 @@ def _stamped(h: dict) -> bool:
     return any("clean" in p for p in h.get("pairs", []))
 
 
+def _causal_bests(proto: list[dict]) -> list[tuple[float, float]]:
+    """Per-run (best_eps_n, best_eps_n4) over interleaved runs recorded
+    UP TO AND INCLUDING that run — "the ledger best as of that stamp".
+    Causal by construction: a faster future host raises the floor only
+    for runs that come after it, so no historical run is ever
+    retroactively reclassified."""
+    out, bn, bn4 = [], 0.0, 0.0
+    for h in proto:
+        bn = max(bn, h["eps_n"])
+        bn4 = max(bn4, h["eps_n4"])
+        out.append((bn, bn4))
+    return out
+
+
 def classify_runs(hist: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
     """(clean, degraded, legacy) — legacy = pre-interleaved-protocol runs
     (kept in the table, excluded from the headline statistics).
@@ -231,8 +259,9 @@ def classify_runs(hist: list[dict]) -> tuple[list[dict], list[dict], list[dict]]
     heur = [h for h in proto if not _stamped(h)]
     best_n = max((h["eps_n"] for h in heur), default=1)
     best_n4 = max((h["eps_n4"] for h in heur), default=1)
+    causal = _causal_bests(proto)
     clean, degraded = [], []
-    for h in proto:
+    for i, h in enumerate(proto):
         reasons = []
         if _stamped(h):
             if not any(p.get("clean") for p in h["pairs"]):
@@ -242,6 +271,29 @@ def classify_runs(hist: list[dict]) -> tuple[list[dict], list[dict], list[dict]]
                         r for p in h["pairs"]
                         for r in p.get("clean_reasons", [])
                     )
+                )
+            # BANDWIDTH LOOPHOLE (proved 2026-08-18 12:33Z): the pair
+            # stamps were CPU-only — ratio 0.908-1.022 and healthy Mops
+            # while the replay's 4N legs ran at 0.36-0.50x the ledger
+            # best and the stats phase showed ZERO 2->8 scaling, i.e.
+            # the hypervisor throttled DRAM/IPC bandwidth, which an ALU
+            # loop cannot see.  Stamped runs therefore remain subject to
+            # the ledger's absolute-throughput floor, computed CAUSALLY
+            # (best over runs up to and including this one) so the
+            # non-retroactivity guarantee of the stamps is preserved.
+            # Pairs measured after 2026-08-18 additionally carry their
+            # own memcpy-bandwidth stamp (etl_spark/benchref.py
+            # ``membw_rate``), closing the hole at measurement time.
+            cb_n, cb_n4 = causal[i]
+            if h["eps_n"] < DEGRADED_ABS_FRAC * cb_n:
+                reasons.append(
+                    f"eps@N {h['eps_n']:.0f} < {DEGRADED_ABS_FRAC} x "
+                    f"ledger best {cb_n:.0f} (bandwidth floor)"
+                )
+            if h["eps_n4"] < DEGRADED_ABS_FRAC * cb_n4:
+                reasons.append(
+                    f"eps@4N {h['eps_n4']:.0f} < {DEGRADED_ABS_FRAC} x "
+                    f"ledger best {cb_n4:.0f} (bandwidth floor)"
                 )
         else:
             if h["eps_n"] < DEGRADED_ABS_FRAC * best_n:
@@ -289,11 +341,17 @@ def write_baseline_md(hist: list[dict], latest_extra: str = "") -> dict:
     # granularity — and never recomputed, so a faster future host can't
     # retroactively reclassify it.
     proto = [h for h in hist if h.get("mode") == "interleaved-pairs"]
+    # Pairs must pass BOTH their own measurement-time stamp AND the
+    # causal absolute-throughput floor (same bandwidth-loophole closure
+    # as classify_runs: a CPU-clean stamp says nothing about hypervisor
+    # bandwidth throttling, which is what collapses replay legs).
     pair_pool = [
         p["efficiency"]
-        for h in proto
+        for h, (cb_n, cb_n4) in zip(proto, _causal_bests(proto))
         for p in h.get("pairs", [])
         if p.get("clean")
+        and not (p.get("eps_n") and p["eps_n"] < DEGRADED_ABS_FRAC * cb_n)
+        and not (p.get("eps_n4") and p["eps_n4"] < DEGRADED_ABS_FRAC * cb_n4)
     ]
     med_pairs = round(statistics.median(pair_pool), 3) if pair_pool else None
 
@@ -331,11 +389,22 @@ the machine during measurement.
 ## Criterion status (target >= 0.8 per BASELINE.json)
 
 Degraded-run classification is INDEPENDENT of the target (see
-`classify_runs`): a run is degraded only when absolute throughput on
+`classify_runs`): a run is degraded when absolute throughput on
 either leg fell below {DEGRADED_ABS_FRAC}x the ledger best for that leg
 (I/O starvation — note the machine can show a healthy pure-compute
-ceiling while disk/IPC bandwidth collapses) or the pure-compute ceiling
-itself was < {DEGRADED_CEILING}.
+ceiling while disk/IPC bandwidth collapses) or, for unstamped runs,
+the pure-compute ceiling was < {DEGRADED_CEILING}.  The throughput
+floor is CAUSAL — best over runs recorded up to and including the one
+being classified — so a faster future host never retroactively
+reclassifies a historical run.  It applies to stamped runs too: the
+2026-08-18 12:33Z run proved the CPU-only pair stamps are blind to
+hypervisor BANDWIDTH throttling (probe ratios 0.908-1.022, healthy
+Mops, while the 4N replay legs ran at 0.36-0.50x the ledger best and
+the stats phase showed zero 2→8 scaling).  Pairs measured after
+2026-08-18 additionally carry a memcpy-bandwidth stamp
+(`etl_spark/benchref.py::membw_rate`, gated at
+{PAIR_MEMBW_FRAC} x the machine family's best), closing that hole at
+measurement time.
 
 **{met}: median best-pair efficiency across the {len(clean)} clean runs
 = {med}** (all clean best-pairs: {clean_effs}; median of the clean
@@ -347,9 +416,10 @@ Pair-granularity view (r5 protocol: each pair carries its own pre-pair
 steal probe and leg order alternates): median efficiency over the
 {len(pair_pool)} individually-clean pairs (own turbo-robust probe
 stamped clean at measurement time — half→full ratio >= {PAIR_PROBE_MIN}
-AND absolute capacity >= {PAIR_ABS_FRAC} x the machine family's best;
-independent of run-level classification, whose ceiling is a single
-start-of-run snapshot) =
+AND absolute capacity >= {PAIR_ABS_FRAC} x the machine family's best
+AND, since 2026-08-18, memcpy bandwidth >= {PAIR_MEMBW_FRAC} x best —
+plus the causal absolute-throughput floor above, because a CPU stamp
+alone cannot see bandwidth steal) =
 **{med_pairs}** (pool: {sorted(pair_pool, reverse=True)}).  Runs
 recorded before the r5 protocol carry no per-pair probes and do not
 enter this pool.
@@ -367,6 +437,26 @@ Scaling efficiency = {best["eps_n4"]:,} / (4 x {best["eps_n"]:,})
 Final table state is identical across parallelism levels on every run —
 the LWW merge is delivery- and partitioning-order independent.
 {latest_extra}
+## Binary A/B — r4 vs r5 engine, same host, same input (2026-08-18 11:45Z)
+
+The 11:18Z run's weakest pair (0.459) raised the question of whether the
+round-5 table changes cost wide-parallelism throughput.  Decisive test:
+three interleaved (r5, r4) legs at 8 cores over identical pre-generated
+input (1.2M events), fresh JVM per leg, alternating order within each
+round (r4 binary = commit b44bc1f checked out to a scratch tree):
+
+| round | r5 ev/s | r4 ev/s | r5/r4 |
+| --- | --- | --- | --- |
+| 0 | 10,492 | 18,431 | 0.57 |
+| 1 | 19,490 | 14,331 | 1.36 |
+| 2 | 27,291 | 33,125 | 0.82 |
+
+Median r5 19,490 vs median r4 18,431; within-round ratios span
+0.57-1.36 while EACH binary's own throughput drifted ~2.6-3.1x across
+the 45-minute window.  Conclusion: no detectable systematic engine
+difference — the host's deliverable bandwidth is the dominant variable,
+and the 0.459 pair is host drift, not a round-5 regression.
+
 ## Run history (append-only, BENCH/history.jsonl)
 
 | when | pair | events/s @N | events/s @4N | efficiency | machine ceiling | classification |
@@ -495,6 +585,8 @@ oversubscription), so this pair measures the machine, not the engine.
                     {"probe": p[3]["ratio"], "probe_mops": p[3]["mops"],
                      "ref_mops": p[3]["ref_mops"], "clean": p[3]["clean"],
                      "clean_reasons": p[3]["clean_reasons"],
+                     "membw": p[3].get("membw"),
+                     "ref_membw": p[3].get("ref_membw"),
                      "order": p[4],
                      "eps_n": p[0]["events_per_sec"],
                      "eps_n4": p[1]["events_per_sec"],

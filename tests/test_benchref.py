@@ -159,3 +159,69 @@ def test_bench_probe_gate_reasons(monkeypatch):
     assert any("machine best" in r for r in bench._probe_clean(uniform, 313.0))
     # no reference yet: the absolute leg abstains rather than blocking
     assert bench._probe_clean(uniform, 0.0) == []
+
+
+def test_membw_ref_roundtrip_and_gate(tmp_path, monkeypatch):
+    from etl_spark import benchref
+
+    monkeypatch.setattr(benchref, "PROBE_REF", str(tmp_path / "ref.json"))
+    assert benchref.best_membw(8) == 0.0  # absent: gate abstains
+    benchref.update_best_membw(8, 46.19)
+    assert benchref.best_membw(8) == 46.2
+    benchref.update_best_membw(8, 30.0)  # never regresses
+    assert benchref.best_membw(8) == 46.2
+    # mops and membw share the file without clobbering each other
+    benchref.update_best_mops(8, 111.9)
+    assert benchref.best_membw(8) == 46.2 and benchref.best_mops(8) == 111.9
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    probe = {"single_mops": 16.0, "half_mops": 150.0,
+             "parallel_mops": 300.0, "wide_scale": 0.93,
+             "parallel_scale": 0.59, "membw_gbps": 5.0}
+    monkeypatch.setattr(bench, "CPUS", 32)
+    # 5 GB/s against a 46.2 best -> bandwidth-starved reason
+    import etl_spark.benchref as br
+    monkeypatch.setattr(br, "PROBE_REF", str(tmp_path / "ref.json"))
+    assert any("membw" in r for r in bench._probe_clean(probe, 313.0))
+    healthy = dict(probe, membw_gbps=40.0)
+    assert bench._probe_clean(healthy, 313.0) == []
+
+
+def test_membw_rate_measures_positive():
+    """Tiny buffers so CI cost stays ~100ms; the probe path itself
+    (pool warm-up map, timed map, undercount-on-missed-warm-up) is
+    exactly the production code."""
+    from etl_spark.benchref import membw_rate
+
+    assert membw_rate(2, mb=8) > 0
+
+
+def test_classify_stamped_run_degraded_by_causal_bandwidth_floor():
+    """A CPU-stamped-clean run whose legs collapsed vs the PRIOR ledger
+    best is degraded (the 2026-08-18 12:33Z bandwidth loophole) — but
+    only causally: a slow run BEFORE the fast one stays clean."""
+    sb = _load_scaling_bench()
+    slow_first = _mk_run(
+        "u0", 9000, 22000,
+        pairs=[{"probe": 0.95, "probe_mops": 110.0, "ref_mops": 110.0,
+                "clean": True, "clean_reasons": [],
+                "eps_n": 9000, "eps_n4": 22000, "efficiency": 0.61}],
+    )
+    fast = _mk_run(
+        "u1", 13800, 44000,
+        pairs=[{"probe": 0.95, "probe_mops": 110.0, "ref_mops": 110.0,
+                "clean": True, "clean_reasons": [],
+                "eps_n": 13800, "eps_n4": 44000, "efficiency": 0.8}],
+    )
+    slow_after = _mk_run(
+        "u2", 10900, 22000,  # 22000 < 0.6 x 44000
+        pairs=[{"probe": 0.95, "probe_mops": 110.0, "ref_mops": 110.0,
+                "clean": True, "clean_reasons": [],
+                "eps_n": 10900, "eps_n4": 22000, "efficiency": 0.5}],
+    )
+    clean, degraded, _ = sb.classify_runs([slow_first, fast, slow_after])
+    assert {h["stamp"] for h in clean} == {"u0", "u1"}
+    assert {h["stamp"] for h in degraded} == {"u2"}
+    assert any("bandwidth floor" in r for r in degraded[0]["degraded_reasons"])
