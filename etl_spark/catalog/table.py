@@ -521,7 +521,22 @@ class LakeTable:
         # (jstack-verified).  Latency wins must come from FUSING jobs on
         # the one chain, never from overlapping SQL executions.
         small_rows = int(snap.properties.get("stage_small_rows", "25000"))
-        rows = _collect_stats()
+        # The stats scan is NARROW (3 pruned columns, ~2% of file bytes)
+        # but inherits the engine-wide 32MB split size tuned for the
+        # WIDE content path — on a 2.4GB segment that is ~75 near-empty
+        # tasks whose launch overhead IS the phase cost (measured: the
+        # phase scaled 0.55 from 2→8 cores because task dispatch doesn't
+        # parallelize).  Split coarser for this one job and restore
+        # before the wide stage/merge jobs run.  Safe: the per-batch job
+        # chain is single-threaded by design (see the AQE-race note
+        # above), so a scoped conf set/restore cannot race.
+        stats_split = snap.properties.get("stats_split_bytes", str(128 << 20))
+        prev_split = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", stats_split)
+        try:
+            rows = _collect_stats()
+        finally:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
         part_rows = [r for r in rows if r["part_id"] is not None]
         repo_rows = [r for r in rows if r["part_id"] is None]
         batch_wm = {int(r["part_id"]): int(r["end_seq"]) for r in part_rows}
@@ -564,15 +579,52 @@ class LakeTable:
         # winners as plain row blocks (no columnar encode) on their
         # first consumer instead.  Same reuse semantics either way:
         # every consumer below scans one materialization. -----------------
+        bucket = self._bucket_expr(new_snap)
+        stage_obs = None
         if n_events <= small_rows:
             staged = d.localCheckpoint(eager=False)
         else:
-            d.write.mode("overwrite").parquet(stage_dir)
+            # the per-bucket histogram RIDES the stage write as observe
+            # aggregates (exact conditional sums pivoted over the bucket
+            # id space) instead of re-scanning the staged delta —
+            # content included, that re-scan was a full second read of
+            # the batch plus one more job barrier per micro-batch.
+            # Gated to a bounded id space (codegen width) with the
+            # separate-histogram job as the exact fallback.
+            bucket_ids = self._bucket_id_space(new_snap)
+            to_write = d
+            if (
+                len(bucket_ids) <= 64
+                and os.environ.get("ETL_SPARK_WRITE_OBSERVE", "1") != "0"
+            ):
+                from pyspark.sql import Observation
+
+                per_row = self._row_bytes_expr(d)
+                stage_obs = Observation()
+                aggs = []
+                for b in bucket_ids:
+                    w = bucket == b
+                    aggs += [
+                        F.sum(F.when(w, 1).otherwise(0)).alias(f"cnt_{b}"),
+                        F.sum(F.when(w, per_row).otherwise(0)).alias(
+                            f"bytes_{b}"
+                        ),
+                    ]
+                to_write = d.observe(stage_obs, *aggs)
+            to_write.write.mode("overwrite").parquet(stage_dir)
             staged = self.spark.read.parquet(stage_dir)
         d = canonicalizer(staged) if canonicalizer is not None else staged
         tp = mark("stage_delta", tp)
-        bucket = self._bucket_expr(new_snap)
-        bucket_rows = self._bucket_histogram(staged, bucket)
+        if stage_obs is not None:
+            vals = stage_obs.get
+            bucket_rows = [
+                {"bucket": b, "cnt": int(vals[f"cnt_{b}"] or 0),
+                 "bytes": int(vals[f"bytes_{b}"] or 0)}
+                for b in bucket_ids
+                if int(vals[f"cnt_{b}"] or 0) > 0
+            ]
+        else:
+            bucket_rows = self._bucket_histogram(staged, bucket)
         touched = {int(r["bucket"]) for r in bucket_rows} | migrate_buckets
         delta_bytes = sum(int(r["bytes"] or 0) for r in bucket_rows)
         tp = mark("bucket_job", tp)
@@ -776,7 +828,15 @@ class LakeTable:
             # anyway).
             obs = None
             obs_buckets = sorted(touched)
-            if extra_parts == 0 and not promoted and len(obs_buckets) <= 64:
+            # ETL_SPARK_WRITE_OBSERVE=0: diagnostic kill-switch for the
+            # observe-stats ride-along (falls back to the post-write
+            # scan) — used to attribute merge-phase cost during profiling
+            if (
+                extra_parts == 0
+                and not promoted
+                and len(obs_buckets) <= 64
+                and os.environ.get("ETL_SPARK_WRITE_OBSERVE", "1") != "0"
+            ):
                 from pyspark.sql import Observation
 
                 obs = Observation()
@@ -1145,25 +1205,42 @@ class LakeTable:
         child.properties.pop("restored_version", None)
         return child
 
+    @staticmethod
+    def _row_bytes_expr(df: DataFrame):
+        """Uncompressed payload estimate per row.  Counts EVERY string
+        column (not just content): wide promoted ``extra`` columns would
+        otherwise undercount the broadcast decision."""
+        str_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() == "string"
+        ]
+        return sum(
+            (F.length(F.coalesce(F.col(c), F.lit(""))) for c in str_cols),
+            F.lit(64).cast("long"),
+        )
+
+    def _bucket_id_space(self, snap: Snapshot) -> list[int]:
+        """Every bucket id ``key_bucket`` can emit under ``snap``: cold
+        ids [0, n_buckets) plus each hot repo's salted range.  Bounded
+        by construction — the observe-histogram pivot enumerates it."""
+        ids = list(range(snap.n_buckets))
+        for i in range(len(snap.hot_repos)):
+            base = snap.n_buckets + i * snap.salt
+            ids.extend(range(base, base + snap.salt))
+        return ids
+
     def _bucket_histogram(self, staged: DataFrame, bucket) -> list:
         """Per-bucket (count, bytes) over the staged LWW winners.
 
         Doubles as the delta-key count AND the delta payload size
         (drives broadcast-vs-shuffle and file slicing); it reads the RAW
         stage so the canonicalize pipeline is not re-triggered (raw
-        content length ≈ canonical length for sizing purposes).  The
-        payload estimate counts EVERY string column (not just content):
-        wide promoted ``extra`` columns would otherwise undercount the
-        broadcast decision."""
-        str_cols = [
-            f.name
-            for f in staged.schema.fields
-            if f.dataType.simpleString() == "string"
-        ]
-        per_row = sum(
-            (F.length(F.coalesce(F.col(c), F.lit(""))) for c in str_cols),
-            F.lit(64).cast("long"),
-        )
+        content length ≈ canonical length for sizing purposes).  On the
+        big-batch path these numbers ride the stage write as observe
+        aggregates instead (exact same expressions); this job is the
+        fallback (small/localCheckpoint batches, wide bucket spaces)."""
+        per_row = self._row_bytes_expr(staged)
         return (
             staged.groupBy(bucket.alias("bucket"))
             .agg(F.count("*").alias("cnt"), F.sum(per_row).alias("bytes"))
