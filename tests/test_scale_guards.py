@@ -175,3 +175,92 @@ def test_embedding_hot_bucket_cap(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(9000, 9001)}
+
+
+def test_driver_murmur3_matches_spark(spark):
+    """Spark's hash() on int32 == the driver-side murmur3_int32 twin —
+    the invariant the exact writer-partition placement stands on."""
+    from etl_spark.functions.murmur import murmur3_int32, pmod32
+
+    vals = list(range(-50, 50)) + [2**31 - 1, -(2**31), 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    rows = df.select(
+        "x", F.hash("x").alias("h"), F.pmod(F.hash("x"), F.lit(32)).alias("p")
+    ).collect()
+    for r in rows:
+        assert murmur3_int32(r["x"]) == r["h"], r["x"]
+        assert pmod32(murmur3_int32(r["x"]), 32) == r["p"], r["x"]
+
+
+def test_placement_tokens_land_exact(spark):
+    """repartition(n, token) puts group i in partition i — collision-free
+    by construction, for several n."""
+    from etl_spark.functions.murmur import placement_tokens
+
+    for n in (1, 7, 32, 100):
+        toks = placement_tokens(n)
+        assert len(set(toks)) == n
+        df = spark.createDataFrame([(int(t),) for t in toks], "t int")
+        rows = (
+            df.repartition(n, "t")
+            .select("t", F.spark_partition_id().alias("p"))
+            .collect()
+        )
+        got = {r["t"]: r["p"] for r in rows}
+        assert all(got[toks[i]] == i for i in range(n)), n
+
+
+def test_slice_parallelism_floor():
+    """min_parallel slices the largest buckets first and respects the
+    16MB small-file floor."""
+    t = LakeTable.__new__(LakeTable)  # driver-only helper, no session
+    bb = {0: 100 << 20, 1: 40 << 20, 2: 10 << 20}
+    _, extra, ks = LakeTable._file_slice_expr(
+        t, bb, max_bytes=512 << 20, min_parallel=6
+    )
+    # 3 groups -> floor 6: bucket 0 (largest per-slice) splits first
+    assert sum(ks.get(b, 1) for b in bb) == 6
+    assert ks[0] >= ks.get(1, 1) >= ks.get(2, 1)
+    # never slices below ~16MB per slice
+    for b, k in ks.items():
+        assert bb[b] // k >= 16 << 20 or k == 1
+    # floor off -> no slicing below max_bytes
+    _, extra0, ks0 = LakeTable._file_slice_expr(t, bb, max_bytes=512 << 20)
+    assert ks0 == {} and extra0 == 0
+
+
+def test_fused_merge_matches_legacy(spark, tmp_path, monkeypatch):
+    """The single-shuffle fused merge (exact-placed repartition + window
+    LWW by adjacent keys) produces byte-identical state to the legacy
+    two-shuffle path under out-of-order + duplicated delivery."""
+    import os
+
+    ev = events_df(
+        spark, 6000, seed=21, n_repos=10, paths_per_repo=40, hot_pct=20,
+        content_bytes=128,
+    )
+    batches = [
+        ev.filter("seq % 3 != 2"),
+        ev.filter("seq % 3 = 2").union(ev.limit(300)),  # redelivery
+        ev.limit(500),  # pure duplicates incl. seq ties
+    ]
+
+    def replay(tag, fused):
+        monkeypatch.setenv("ETL_SPARK_FUSED_MERGE", "1" if fused else "0")
+        monkeypatch.setenv("ETL_SPARK_EXACT_PLACEMENT", "1" if fused else "0")
+        t = LakeTable.create(
+            spark, str(tmp_path / tag), n_buckets=8, salt=4
+        )
+        for i, b in enumerate(batches):
+            st = t.apply_batch(
+                b, i, delivery="unordered", canonicalizer=canonicalize,
+                strategy="shuffle",
+            )
+            if fused and i > 0:  # first batch has no slice -> plain write
+                assert st.get("strategy") == "shuffle-fused", st
+        return t
+
+    a = replay("fused", True).read()
+    b = replay("legacy", False).read()
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
