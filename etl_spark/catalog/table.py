@@ -603,14 +603,23 @@ class LakeTable:
                 stage_obs = Observation()
                 aggs = []
                 for b in bucket_ids:
-                    w = bucket == b
+                    # condition on a MATERIALIZED bucket column: inlining
+                    # the raw bucket expression (xxhash + salt CASE) into
+                    # every conditional aggregate re-evaluates the hash
+                    # once per agg per row (no CSE across agg buffers) —
+                    # ~2 x |bucket_ids| hashes/row of pure waste
+                    w = F.col("_stage_b") == b
                     aggs += [
                         F.sum(F.when(w, 1).otherwise(0)).alias(f"cnt_{b}"),
                         F.sum(F.when(w, per_row).otherwise(0)).alias(
                             f"bytes_{b}"
                         ),
                     ]
-                to_write = d.observe(stage_obs, *aggs)
+                to_write = (
+                    d.withColumn("_stage_b", bucket)
+                    .observe(stage_obs, *aggs)
+                    .drop("_stage_b")
+                )
             to_write.write.mode("overwrite").parquet(stage_dir)
             staged = self.spark.read.parquet(stage_dir)
         d = canonicalizer(staged) if canonicalizer is not None else staged
