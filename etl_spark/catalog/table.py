@@ -532,11 +532,29 @@ class LakeTable:
         # above), so a scoped conf set/restore cannot race.
         stats_split = snap.properties.get("stats_split_bytes", str(128 << 20))
         prev_split = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+        # AQE size-based coalescing is actively harmful to this job: the
+        # deduped projection is ~30MB of narrow rows, so a 64MB advisory
+        # coalesces the dedup/agg shuffles to ONE partition and a single
+        # task hash-aggregates the whole micro-batch serially (measured
+        # 8-24s of a 2-core-equivalent stall per batch under
+        # parallelismFirst=false).  Scoped off: partitions then follow
+        # the constant spark.sql.shuffle.partitions — same plan at every
+        # parallelism level, fine-grained on all of them.  Same
+        # single-threaded-chain safety argument as the split override.
+        prev_coal = self.spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
         self.spark.conf.set("spark.sql.files.maxPartitionBytes", stats_split)
+        self.spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
         try:
             rows = _collect_stats()
         finally:
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+            self.spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", prev_coal
+            )
         part_rows = [r for r in rows if r["part_id"] is not None]
         repo_rows = [r for r in rows if r["part_id"] is None]
         batch_wm = {int(r["part_id"]): int(r["end_seq"]) for r in part_rows}

@@ -72,11 +72,16 @@ cores = {cores}
 # DIFFERENT physical plans — the N leg got coarser partitions, i.e.
 # less scheduling overhead per row — so the ratio mixed engine scaling
 # with plan divergence.
-spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=32,
+spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=128,
                   extra_conf={{
                       "spark.local.dir": "/dev/shm/spark-local",
                       "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
                   }})
+# 128 shuffle partitions (vs 32): AQE's SIZE-based coalescing (advisory
+# 64MB, parallelismFirst=false) reduces both legs to the same ~40 final
+# partitions, so plans stay IDENTICAL across parallelism levels while
+# task waves pack ~4x finer — the 8-core leg's window/sort stage ran 32
+# uniform tasks in 4 ragged waves and idled cores at each wave tail.
 root = tempfile.mkdtemp(prefix="etl_scaling_", dir="/dev/shm")
 try:
     # warmup table matches the measured table's EXACT layout shape
