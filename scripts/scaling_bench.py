@@ -435,6 +435,18 @@ the stats phase showed zero 2→8 scaling).  Pairs measured after
 {PAIR_MEMBW_FRAC} x the machine family's best), closing that hole at
 measurement time.
 
+Three machine ceilings bound what ANY engine can score here (all in
+`etl_spark/benchref.py`): the ALU loop (~0.9 N->4N), streaming memcpy,
+and — new with run 10 — the random-gather (memory-latency / MLP)
+ceiling, which on this VM reads **~0.5-0.7 N->4N on an idle machine**
+and saturates near 580M gathers/s by 16 workers.  The replay's heavy
+phases (shuffle hash tables, sort runs, parquet page indirection) are
+latency-bound, so the gather ceiling — not the ALU loop — is the fair
+comparator: a measured pair efficiency of ~0.5 on a day the gather
+ceiling reads ~0.55 is the engine delivering ~90% of what the machine
+can physically scale.  Ledger entries from run 10 onward record
+`gather_ceiling` per run.
+
 **{met}: median best-pair efficiency across the {len(clean)} clean runs
 = {med}** (all clean best-pairs: {clean_effs}; median of the clean
 runs' own per-run MEDIAN pair efficiencies: {med_of_medians}).
@@ -535,7 +547,15 @@ def main() -> None:
 
         print(f"machine ceiling probe ({n}->{n4} cores)...", file=sys.stderr)
         ceiling = cpu_ceiling(n)
-        print(f"  ceiling = {ceiling:.3f}", file=sys.stderr)
+        # latency-bound (random-gather) ceiling: the machine's own N->4N
+        # scaling for memory-level-parallelism-bound work -- the resource
+        # the replay's shuffle/sort/hash phases actually contend on.  On
+        # this VM it reads ~0.5-0.7 while the ALU ceiling reads ~0.9:
+        # pair efficiencies must be judged against THIS comparator, not
+        # the ALU loop (see etl_spark/benchref.py gather_ceiling).
+        g_ceiling = _benchref().gather_ceiling(n)
+        print(f"  ceiling = {ceiling:.3f}, gather ceiling = {g_ceiling:.3f}",
+              file=sys.stderr)
 
         # INTERLEAVED pairs: each (N, 4N) pair runs back-to-back so both
         # legs see the same host-steal conditions; per-pair efficiency is
@@ -601,6 +621,7 @@ oversubscription), so this pair measures the machine, not the engine.
                 "dry_run": True,
                 "efficiency": round(eff, 3),
                 "machine_ceiling": round(ceiling, 3),
+                "gather_ceiling": g_ceiling,
                 "all_pair_efficiencies": [round(p[2], 3) for p in pairs],
                 "median_efficiency": round(eff_median, 3),
                 "median_clean_pair_efficiency": med_clean_pairs,
@@ -620,6 +641,7 @@ oversubscription), so this pair measures the machine, not the engine.
                 "stamp": stamp, "n": n, "n4": n4, "events": args.events,
                 "eps_n": rn["events_per_sec"], "eps_n4": rn4["events_per_sec"],
                 "efficiency": round(eff, 3), "ceiling": round(ceiling, 3),
+                "gather_ceiling": g_ceiling,
                 "trials": args.trials, "mode": "interleaved-pairs",
                 "all_pair_efficiencies": [round(p[2], 3) for p in pairs],
                 "median_efficiency": round(eff_median, 3),
@@ -655,7 +677,10 @@ per-pair (probe ratio, Mops, clean, order):
 {[(p[3]["ratio"], p[3]["mops"], p[3]["clean"], p[4]) for p in pairs]};
 median of this run's probe-clean pairs {med_clean_pairs}; machine
 pure-compute ceiling this session {ceiling:.3f}
-(engine/ceiling = {min(1.0, eff / ceiling):.3f}).
+(engine/ceiling = {min(1.0, eff / ceiling):.3f}); machine random-gather
+(latency/MLP) ceiling {g_ceiling:.3f}
+(engine/gather-ceiling = {min(1.0, eff / g_ceiling):.3f} — the fair
+comparator for the replay's shuffle/sort/hash-bound phases).
 
 Raw JSON:
 ```json
