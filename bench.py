@@ -89,7 +89,7 @@ def steal_probe() -> dict:
     # hypervisor DRAM/IPC throttling, which is the steal mode that
     # actually dominates this VM's bench variance (shuffles, stage
     # writes, and parquet encodes are memory streams, not ALU loops)
-    from etl_spark.benchref import membw_rate, update_best_membw
+    from etl_spark.benchref import gather_rate, membw_rate, update_best_membw
 
     bw = membw_rate(max(1, CPUS // 4))
     update_best_membw(max(1, CPUS // 4), bw)
@@ -101,6 +101,10 @@ def steal_probe() -> dict:
         # legacy 1→CPUS ratio; turbo-confounded, context only
         "parallel_scale": round(rn / r1 / CPUS, 3),
         "membw_gbps": bw,
+        # latency/MLP leg of the health triple (benchref.gather_rate):
+        # collapses under hypervisor memory contention that neither the
+        # ALU loop nor the memcpy stream can see — context, not a gate
+        "gather_mps": gather_rate(max(1, CPUS // 4)),
     }
 
 
